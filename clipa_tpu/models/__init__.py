@@ -1,0 +1,14 @@
+"""Model zoo: two-tower CLIP with ViT image and transformer text encoders."""
+
+import importlib
+
+
+def get_model_module(name: str):
+    """Resolves a short model name to its module (e.g. "vit", "text_transformer")."""
+    aliases = {
+        "vit": "clipa_tpu.models.vit",
+        "text_transformer": "clipa_tpu.models.text",
+        "proj.image_text.text_transformer": "clipa_tpu.models.text",
+        "two_towers": "clipa_tpu.models.two_towers",
+    }
+    return importlib.import_module(aliases.get(name, name))

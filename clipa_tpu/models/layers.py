@@ -1,0 +1,232 @@
+"""Shared transformer building blocks.
+
+Our own primitives rather than stock ``flax.linen`` attention: the attention
+core dispatches to a Pallas flash-attention kernel on TPU (falling back to an
+XLA einsum-softmax path), and every matmul runs in a configurable compute
+dtype (bf16 by default on TPU) with fp32 parameters — the MXU-friendly
+regime. Parameter *names and shapes* intentionally coincide with the
+reference tree (clipa_jax/models/vit.py, text_transformer.py) so released
+CLIPA npz checkpoints load unchanged:
+
+    MultiHeadDotProductAttention_0/{query,key,value}/kernel  (d, H, hd)
+    MultiHeadDotProductAttention_0/out/kernel                (H, hd, d)
+    MlpBlock_0/{Dense_0,Dense_1}/{kernel,bias}
+    LayerNorm_0, LayerNorm_1
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from clipa_tpu.ops.attention import dot_product_attention
+
+Array = Any
+Dtype = Any
+
+
+class DropPath(nn.Module):
+    """Stochastic depth: drops the entire residual branch per sample."""
+
+    rate: float = 0.0
+
+    @nn.compact
+    def __call__(self, x: Array, deterministic: bool = True) -> Array:
+        if self.rate == 0.0 or deterministic:
+            return x
+        keep = 1.0 - self.rate
+        rng = self.make_rng("drop_path")
+        shape = (x.shape[0],) + (1,) * (x.ndim - 1)
+        mask = jax.random.bernoulli(rng, keep, shape)
+        return jnp.where(mask, x / keep, 0.0)
+
+
+class MultiHeadAttention(nn.Module):
+    """Multi-head self/cross attention with a swappable core.
+
+    QKV/out projections are explicit einsums over DenseGeneral-shaped
+    parameters; the (Q,K,V)->O core is `clipa_tpu.ops.attention`, which picks
+    a Pallas flash kernel or the XLA path depending on backend and shapes.
+    """
+
+    num_heads: int
+    qkv_kernel_init: Callable = nn.initializers.xavier_uniform()
+    out_kernel_init: Callable = nn.initializers.xavier_uniform()
+    use_bias: bool = True
+    dtype: Optional[Dtype] = None
+    attn_impl: str = "auto"  # "auto" | "xla" | "pallas"
+
+    @nn.compact
+    def __call__(self, inputs_q: Array, inputs_kv: Array,
+                 mask: Optional[Array] = None) -> Array:
+        d_model = inputs_q.shape[-1]
+        if d_model % self.num_heads:
+            raise ValueError(f"width {d_model} not divisible by heads {self.num_heads}")
+        head_dim = d_model // self.num_heads
+        dtype = self.dtype or inputs_q.dtype
+
+        # Explicit sub-scopes so flat param names match the reference layout.
+        q = _ProjIn(self.num_heads, head_dim, self.qkv_kernel_init,
+                    self.use_bias, dtype, name="query")(inputs_q)
+        k = _ProjIn(self.num_heads, head_dim, self.qkv_kernel_init,
+                    self.use_bias, dtype, name="key")(inputs_kv)
+        v = _ProjIn(self.num_heads, head_dim, self.qkv_kernel_init,
+                    self.use_bias, dtype, name="value")(inputs_kv)
+
+        y = dot_product_attention(q, k, v, mask=mask, impl=self.attn_impl)
+
+        return _ProjOut(d_model, self.out_kernel_init, self.use_bias,
+                        dtype, name="out")(y)
+
+
+class _ProjIn(nn.Module):
+    """Input projection to (batch, len, heads, head_dim)."""
+    num_heads: int
+    head_dim: int
+    kernel_init: Callable
+    use_bias: bool
+    dtype: Dtype
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        d_in = x.shape[-1]
+        kernel = self.param("kernel", self.kernel_init,
+                            (d_in, self.num_heads, self.head_dim), jnp.float32)
+        y = jnp.einsum("...d,dhk->...hk", x.astype(self.dtype),
+                       kernel.astype(self.dtype))
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros,
+                              (self.num_heads, self.head_dim), jnp.float32)
+            y = y + bias.astype(self.dtype)
+        return y
+
+
+class _ProjOut(nn.Module):
+    """Output projection from (batch, len, heads, head_dim) to (..., d_model)."""
+    d_model: int
+    kernel_init: Callable
+    use_bias: bool
+    dtype: Dtype
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        num_heads, head_dim = x.shape[-2], x.shape[-1]
+        kernel = self.param("kernel", self.kernel_init,
+                            (num_heads, head_dim, self.d_model), jnp.float32)
+        y = jnp.einsum("...hk,hkd->...d", x.astype(self.dtype),
+                       kernel.astype(self.dtype))
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros,
+                              (self.d_model,), jnp.float32)
+            y = y + bias.astype(self.dtype)
+        return y
+
+
+class MlpBlock(nn.Module):
+    """Transformer feed-forward block: Dense -> gelu(tanh) -> Dense."""
+
+    mlp_dim: Optional[int] = None  # defaults to 4x model width
+    dropout: float = 0.0
+    fc_init: Callable = nn.initializers.xavier_uniform()
+    proj_init: Callable = nn.initializers.xavier_uniform()
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x: Array, deterministic: bool = True) -> Array:
+        d = x.shape[-1]
+        dtype = self.dtype or x.dtype
+        x = nn.Dense(self.mlp_dim or 4 * d, kernel_init=self.fc_init,
+                     bias_init=nn.initializers.zeros, dtype=dtype,
+                     param_dtype=jnp.float32)(x)
+        # tanh-approximate gelu: matches both reference towers and maps to a
+        # cheap fused VPU op on TPU.
+        x = nn.gelu(x, approximate=True)
+        x = nn.Dropout(rate=self.dropout)(x, deterministic)
+        x = nn.Dense(d, kernel_init=self.proj_init,
+                     bias_init=nn.initializers.zeros, dtype=dtype,
+                     param_dtype=jnp.float32)(x)
+        return x
+
+
+class EncoderBlock(nn.Module):
+    """Pre-LN transformer encoder block (MHSA + MLP), residual throughout."""
+
+    num_heads: int
+    mlp_dim: Optional[int] = None
+    dropout: float = 0.0
+    drop_path: float = 0.0
+    attn_qkv_init: Callable = nn.initializers.xavier_uniform()
+    attn_out_init: Callable = nn.initializers.xavier_uniform()
+    mlp_fc_init: Callable = nn.initializers.xavier_uniform()
+    mlp_proj_init: Callable = nn.initializers.xavier_uniform()
+    dtype: Optional[Dtype] = None
+    attn_impl: str = "auto"
+
+    @nn.compact
+    def __call__(self, x: Array, deterministic: bool = True) -> Array:
+        y = nn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32)(x)
+        y = MultiHeadAttention(
+            num_heads=self.num_heads,
+            qkv_kernel_init=self.attn_qkv_init,
+            out_kernel_init=self.attn_out_init,
+            dtype=self.dtype,
+            attn_impl=self.attn_impl,
+            name="MultiHeadDotProductAttention_0")(y, y)
+        y = nn.Dropout(rate=self.dropout)(y, deterministic)
+        y = DropPath(rate=self.drop_path)(y, deterministic)
+        x = x + y
+
+        y = nn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32)(x)
+        y = MlpBlock(mlp_dim=self.mlp_dim, dropout=self.dropout,
+                     fc_init=self.mlp_fc_init, proj_init=self.mlp_proj_init,
+                     dtype=self.dtype, name="MlpBlock_0")(y, deterministic)
+        y = nn.Dropout(rate=self.dropout)(y, deterministic)
+        y = DropPath(rate=self.drop_path)(y, deterministic)
+        return x + y
+
+
+class Encoder(nn.Module):
+    """Stack of encoder blocks with optional activation rematerialization.
+
+    Blocks are named ``encoderblock_{i}`` for checkpoint parity. Remat uses
+    ``checkpoint_dots_with_no_batch_dims`` under policy "minimal" — the TPU
+    sweet spot of recomputing elementwise work while keeping MXU outputs.
+    """
+
+    depth: int
+    num_heads: int
+    mlp_dim: Optional[int] = None
+    dropout: float = 0.0
+    drop_path: float = 0.0
+    remat_policy: str = "none"
+    block_init_fn: Optional[Callable[[int], dict]] = None
+    dtype: Optional[Dtype] = None
+    attn_impl: str = "auto"
+
+    @nn.compact
+    def __call__(self, x: Array, deterministic: bool = True) -> Array:
+        block_cls = EncoderBlock
+        if self.remat_policy not in (None, "none"):
+            policy = (jax.checkpoint_policies.checkpoint_dots_with_no_batch_dims
+                      if self.remat_policy == "minimal" else None)
+            block_cls = nn.remat(EncoderBlock, prevent_cse=True,
+                                 policy=policy, static_argnums=(2,))
+
+        dpr = np.linspace(0.0, self.drop_path, self.depth)
+        for i in range(self.depth):
+            extra = self.block_init_fn(i) if self.block_init_fn else {}
+            x = block_cls(
+                num_heads=self.num_heads,
+                mlp_dim=self.mlp_dim,
+                dropout=self.dropout,
+                drop_path=float(dpr[i]),
+                dtype=self.dtype,
+                attn_impl=self.attn_impl,
+                name=f"encoderblock_{i}",
+                **extra)(x, deterministic)
+        return x

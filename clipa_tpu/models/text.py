@@ -1,0 +1,150 @@
+"""Text transformer tower.
+
+Bidirectional (no causal mask) transformer over WordPiece token ids, exactly
+the encoder CLIPA trains (reference: clipa_jax/models/text_transformer.py):
+token embedding (std 0.02), learnable (std 0.01) or sincos1d posemb, encoder
+blocks with CLIP-paper init scales — attention std w^-0.5, residual
+projections scaled by (2*depth)^-0.5, MLP fc std (2w)^-0.5 — final LayerNorm
+`encoder_norm`, pooling {last, tok, gap}, optional no-bias head.
+
+Parameter names match the reference tree (Embed_0, pos_embedding,
+Transformer/encoderblock_i/..., encoder_norm, head) for npz parity.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import flax.linen as nn
+import jax.numpy as jnp
+import numpy as np
+
+from clipa_tpu.models import layers
+
+Array = Any
+
+
+def posemb_sincos_1d(max_len: int, width: int, min_scale: float = 1.0,
+                     max_scale: float = 10_000.0, dtype=jnp.float32) -> Array:
+    """Fixed 1D sin-cos posemb ([sin | cos] halves, MoCo-v3 construction)."""
+    pe = np.zeros((max_len, width), dtype=np.float32)
+    position = np.arange(max_len)[:, None]
+    half = width // 2
+    scale_factor = -np.log(max_scale / min_scale) / (half - 1)
+    div_term = min_scale * np.exp(np.arange(half) * scale_factor)
+    pe[:, :half] = np.sin(position * div_term)
+    pe[:, half:2 * half] = np.cos(position * div_term)
+    return jnp.asarray(pe, dtype)[None]
+
+
+class _Model(nn.Module):
+    """Text encoder producing a pooled embedding (and optional head logits)."""
+
+    num_classes: Optional[int] = None
+    width: int = 512
+    depth: int = 12
+    mlp_dim: Optional[int] = None
+    num_heads: int = 8
+    dropout: float = 0.0
+    drop_path: float = 0.0
+    posemb: str = "learn"  # or "sincos1d"
+    pool_type: str = "last"  # "last" | "tok" | "gap"
+    vocab_size: int = 32000
+    head_zeroinit: bool = False
+    remat_policy: str = "none"
+    dtype: Optional[Any] = None
+    attn_impl: str = "auto"
+
+    @nn.compact
+    def __call__(self, text: Array, *, train: bool = False, **unused_kw):
+        out = {}
+        dtype = self.dtype or jnp.float32
+
+        x = nn.Embed(num_embeddings=self.vocab_size, features=self.width,
+                     embedding_init=nn.initializers.normal(stddev=0.02),
+                     param_dtype=jnp.float32, dtype=dtype)(text)
+        _, l, d = x.shape
+
+        if self.posemb == "learn":
+            pe = self.param("pos_embedding",
+                            nn.initializers.normal(stddev=0.01),
+                            (1, l, d), jnp.float32)
+        elif self.posemb == "sincos1d":
+            pe = posemb_sincos_1d(l, d)
+        else:
+            raise ValueError(f"Unknown posemb {self.posemb!r}")
+        x = x + pe.astype(dtype)
+        x = nn.Dropout(rate=self.dropout)(x, not train)
+
+        # CLIP-paper residual-scaled initializers, constant across blocks.
+        init_std = {
+            "attn": self.width ** -0.5,
+            "proj": (self.width ** -0.5) * ((2 * self.depth) ** -0.5),
+            "fc": (2 * self.width) ** -0.5,
+        }
+        block_inits = dict(
+            attn_qkv_init=nn.initializers.normal(stddev=init_std["attn"]),
+            attn_out_init=nn.initializers.normal(stddev=init_std["proj"]),
+            mlp_fc_init=nn.initializers.normal(stddev=init_std["fc"]),
+            mlp_proj_init=nn.initializers.normal(stddev=init_std["proj"]),
+        )
+        x = layers.Encoder(
+            depth=self.depth, num_heads=self.num_heads, mlp_dim=self.mlp_dim,
+            dropout=self.dropout, drop_path=self.drop_path,
+            remat_policy=self.remat_policy,
+            block_init_fn=lambda i: block_inits,
+            dtype=dtype, attn_impl=self.attn_impl, name="Transformer")(
+                x, not train)
+
+        x = nn.LayerNorm(dtype=dtype, param_dtype=jnp.float32,
+                         name="encoder_norm")(x)
+
+        if self.pool_type == "last":
+            x = x[:, -1, :]
+        elif self.pool_type == "tok":
+            x = x[:, 0]
+        elif self.pool_type == "gap":
+            x = jnp.mean(x[:, 1:], axis=1)
+        else:
+            raise ValueError(f"Unknown pool_type {self.pool_type!r}")
+        out["head_input"] = x
+
+        if self.num_classes:
+            init = (nn.initializers.zeros if self.head_zeroinit
+                    else nn.initializers.normal(stddev=self.width ** -0.5))
+            x = nn.Dense(self.num_classes, use_bias=False, kernel_init=init,
+                         dtype=dtype, param_dtype=jnp.float32, name="head")(x)
+            out["logits"] = x
+
+        return x.astype(jnp.float32), out
+
+
+def Model(num_classes=None, *, variant=None, **kw):  # noqa: N802
+    """Builds a text tower from a variant string plus overrides."""
+    return _Model(num_classes, **{**decode_variant(variant), **kw})
+
+
+def decode_variant(variant: Optional[str]) -> dict:
+    """Text-tower size table (note B = width 512 / 8 heads, unlike image B)."""
+    if variant is None:
+        return {}
+    v = variant.split("/")[0]
+    return {
+        "width": {"Ti": 192, "S": 384, "M": 512, "B": 512, "L": 768,
+                  "H": 1024, "g": 1408, "G": 1664, "e": 1792}[v],
+        "depth": {"Ti": 12, "S": 12, "M": 12, "B": 12, "L": 12,
+                  "H": 24, "g": 40, "G": 48, "e": 56}[v],
+        "mlp_dim": {"Ti": 768, "S": 1536, "M": 2048, "B": 2048, "L": 3072,
+                    "H": 4096, "g": 6144, "G": 8192, "e": 15360}[v],
+        "num_heads": {"Ti": 3, "S": 6, "M": 8, "B": 8, "L": 12,
+                      "H": 16, "g": 16, "G": 16, "e": 16}[v],
+    }
+
+
+def load(init_params, init_file, model_cfg=None, dont_load=()):
+    """Loads tower params from an npz checkpoint, merging with random init."""
+    del model_cfg
+    from clipa_tpu.train import checkpoint as ckpt
+    from clipa_tpu.models import common
+    restored = ckpt.load_params(init_file)
+    return common.merge_params(restored, init_params, dont_load)

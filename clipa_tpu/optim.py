@@ -1,0 +1,211 @@
+"""Optimizer factory: regex-masked optax chains with per-group schedules.
+
+Capability parity with clipa_jax/optim/build_optax.py:27-301:
+  * `config.schedule` is a list of (regex, schedule-dict-or-None) — None
+    freezes matching params (their updates are zeroed and weight decay
+    skipped),
+  * decoupled weight decay with regex `wd_mults`, lr multipliers via
+    `lr_mults`, layer-wise lr decay (`lwd`) over image encoder blocks,
+  * lr schedules: linear/polynomial, cosine (+min_lr), rsqrt, stair; warmup
+    and cooldown composable with any of them; durations in
+    steps/examples/epochs/percent units,
+  * bf16 Adam moments via `config.optax.mu_dtype` (the reference's H/14
+    memory lever).
+"""
+
+from __future__ import annotations
+
+import operator
+from typing import Any, Callable, Sequence
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from clipa_tpu import utils as u
+from clipa_tpu.config import steps
+
+
+def create_learning_rate_schedule(total_steps: int, batch_size=None,
+                                  data_size=None, base: float = 1.0,
+                                  decay_type: str = "stair",
+                                  scale_with_batchsize: bool = False,
+                                  **kw) -> Callable:
+    """Builds step -> lr (all duration kwargs resolvable in any unit)."""
+    warmup_steps = steps("warmup", kw, data_size, batch_size, total_steps,
+                         default=0)
+    cooldown_steps = steps("cooldown", kw, data_size, batch_size, total_steps,
+                           default=0)
+    if total_steps > 1 and warmup_steps >= total_steps:
+        raise ValueError(f"warmup_steps ({warmup_steps}) >= total_steps "
+                         f"({total_steps})")
+
+    def schedule(step):
+        lr = base
+        if scale_with_batchsize:  # Goyal et al. linear scaling, ref bs 256.
+            lr = lr * batch_size / 256.0
+
+        progress = (step - warmup_steps) / float(total_steps - warmup_steps)
+        progress = jnp.clip(progress, 0.0, 1.0)
+        if decay_type in ("linear", "polynomial"):
+            power = kw.get("power", 1)
+            zero = kw.get("end", kw.get("linear_end", 0))
+            lr = zero + (lr - zero) * (1.0 - progress) ** power
+        elif decay_type == "cosine":
+            if kw.get("min_lr"):
+                floor = kw["min_lr"] / kw["max_lr"]
+                lr = floor + (lr - floor) * 0.5 * (1.0 + jnp.cos(jnp.pi * progress))
+            else:
+                lr = lr * 0.5 * (1.0 + jnp.cos(jnp.pi * progress))
+        elif decay_type == "rsqrt":
+            timescale = kw.get("timescale", 10_000)
+            shift = timescale - warmup_steps
+            lr = jnp.where(warmup_steps < step,
+                           lr / jnp.sqrt((step + shift) / timescale), lr)
+        elif decay_type == "stair":
+            i = jnp.searchsorted(jnp.asarray(kw.get("steps", [])), step + 1)
+            lr = lr * jnp.take(
+                jnp.asarray([1.0] + list(kw.get("mults", []))), i)
+        else:
+            raise ValueError(f"Unknown decay_type {decay_type!r}")
+
+        if warmup_steps:
+            lr = lr * jnp.minimum(1.0, step / warmup_steps)
+        if cooldown_steps:
+            lr = lr * jnp.minimum(1.0, (total_steps - step) / cooldown_steps)
+        return jnp.asarray(lr, jnp.float32)
+
+    return schedule
+
+
+def make(config: Any, params: Any, *, sched_kw: dict):
+    """Returns (optax gradient transform, list of schedule fns)."""
+    schedule = config.schedule
+    if not isinstance(schedule, (tuple, list)):
+        schedule = [(".*", schedule)]
+    masks, scheds = _make_mask_trees(params, schedule)
+    frozen_mask, masks, scheds = _split_frozen(masks, scheds)
+    not_frozen_mask = jax.tree_util.tree_map(operator.not_, frozen_mask)
+
+    schedule_fns = [
+        create_learning_rate_schedule(base=1.0, **sched_kw, **dict(sched))
+        for sched in scheds
+    ]
+    schedule_txs = [
+        optax.masked(optax.scale_by_schedule(fn), mask)
+        for fn, mask in zip(schedule_fns, masks)
+    ] + [optax.masked(optax.set_to_zero(), frozen_mask)]
+
+    grad_clip_tx = (
+        optax.masked(optax.clip_by_global_norm(config.grad_clip_norm),
+                     not_frozen_mask)
+        if config.get("grad_clip_norm") else optax.identity())
+
+    tx_func = operator.attrgetter(config.get("optax_name", "scale_by_adam"))(optax)
+    optax_kw = dict(config.get("optax", {}))
+    if "mu_dtype" in optax_kw and isinstance(optax_kw["mu_dtype"], str):
+        optax_kw["mu_dtype"] = jnp.dtype(optax_kw["mu_dtype"])
+    opt_txs = [optax.masked(tx_func(**optax_kw), not_frozen_mask)]
+
+    lr_mult_txs = [optax.scale(config.lr)]
+    if config.get("lr_mults"):
+        masks_m, mults = _make_mask_trees(params, config.lr_mults)
+        if not all(m > 0 for m in mults):
+            raise ValueError("Use schedule=None to freeze, not lr_mults=0.")
+        lr_mult_txs += [optax.masked(optax.scale(m), mask)
+                        for m, mask in zip(mults, masks_m)]
+
+    if config.get("lwd"):
+        lr_mult_txs += _layerwise_decay_txs(config, params)
+
+    if "weight_decay" in config:
+        raise ValueError("Use config.wd (decoupled), not weight_decay.")
+    weight_decay_txs = []
+    if config.get("wd"):
+        wd_mults = config.get("wd_mults", [(".*/kernel$", 1.0)])
+        masks_w, mults = _make_mask_trees(params, wd_mults)
+        weight_decay_txs = [
+            optax.add_decayed_weights(config.wd * m, mask)
+            for m, mask in zip(mults, masks_w)
+        ]
+
+    # Order matters and matches the reference chain (build_optax.py:273-279):
+    # clip -> adam -> wd -> lr mults -> schedules -> -1.
+    return optax.chain(
+        grad_clip_tx,
+        *opt_txs,
+        *weight_decay_txs,
+        *lr_mult_txs,
+        *schedule_txs,
+        optax.scale(-1.0),
+    ), schedule_fns
+
+
+def _layerwise_decay_txs(config, params):
+    """Layer-wise lr decay over image encoder blocks (fine-tuning trick)."""
+    from clipa_tpu.models.vit import decode_variant
+    depth = decode_variant(config.model.image.variant)["depth"]
+    lwd = config.lwd
+    lwd_mults = [(rf"img/.*encoderblock_{i}/.*", lwd ** (depth - i))
+                 for i in range(depth)]
+    lwd_mults += [
+        ("head.*", 1.0),
+        ("encoder_norm.*", 1.0),
+        ("embedding.*", lwd ** (depth + 1)),
+        ("pos_embedding.*", lwd ** (depth + 1)),
+        ("cls.*", lwd ** (depth + 1)),
+    ]
+    masks, mults = _make_mask_trees(params, lwd_mults)
+    return [optax.masked(optax.scale(m), mask)
+            for m, mask in zip(mults, masks)]
+
+
+def find_states(opt_state, cls):
+    leaves = jax.tree_util.tree_leaves(
+        opt_state, is_leaf=lambda node: isinstance(node, cls))
+    return [leaf for leaf in leaves if isinstance(leaf, cls)]
+
+
+def get_count(opt_state) -> int:
+    """Reads the resume step out of the optimizer state."""
+    counts = {
+        int(state.count)
+        for state in find_states(opt_state, optax.ScaleByScheduleState)
+    }
+    if len(counts) != 1:
+        raise ValueError(f"Expected exactly one schedule count, got {counts}")
+    return counts.pop()
+
+
+def replace_frozen(schedule, pytree, replacement, log=None):
+    """Replaces leaves matching frozen (schedule=None) params."""
+    del log
+    if not isinstance(schedule, (list, tuple)):
+        return pytree
+    masks, scheds = _make_mask_trees(pytree, schedule)
+    frozen_mask, _, _ = _split_frozen(masks, scheds)
+    return jax.tree_util.tree_map(
+        lambda v, f: replacement if f else v, pytree, frozen_mask)
+
+
+def _make_mask_trees(params, patterns_values):
+    patterns, values = zip(*patterns_values)
+    return u.make_mask_trees(params, patterns), list(values)
+
+
+def _split_frozen(masks, scheds):
+    """Splits out the frozen (None-schedule) mask; asserts full coverage."""
+    all_false = jax.tree_util.tree_map(lambda *bools: not any(bools), *masks)
+    uncovered = [leaf for leaf in jax.tree_util.tree_leaves(all_false) if leaf]
+    if uncovered:
+        names = [n for (n, _), flag in zip(
+            u.tree_flatten_with_names(all_false)[0],
+            jax.tree_util.tree_leaves(all_false)) if flag]
+        raise ValueError(
+            f"config.schedule must cover all params (None freezes): {names[:20]}")
+    frozen_masks = [m for m, s in zip(masks, scheds) if s is None]
+    frozen_mask = jax.tree_util.tree_map(
+        lambda *bools: any(bools), *frozen_masks, all_false)
+    live = [(m, s) for m, s in zip(masks, scheds) if s is not None]
+    masks, scheds = zip(*live) if live else ((), ())
+    return frozen_mask, list(masks), list(scheds)

@@ -1,0 +1,161 @@
+"""The jitted SPMD training step.
+
+One ``jax.jit`` program over a Mesh replaces the reference's
+pmap(update_fn)+all_gather+pmean stack (clipa_jax/main.py:240-294):
+
+  * the batch arrives sharded over ('data','fsdp'); params/opt are replicated
+    (or fsdp-sharded) NamedSharding arrays,
+  * the contrastive loss is written as global math — GSPMD partitions the
+    B x B logit matmul into local-rows x global-columns per device, which is
+    exactly the reference's `local_loss` memory profile without the
+    axis_index bookkeeping,
+  * gradient averaging is implicit: XLA inserts the reduce-scatter/all-reduce
+    over ICI where the partitioned backward pass needs it,
+  * params and optimizer state are donated — updates happen in place in HBM.
+
+RNG note: under jit+GSPMD a single global key yields identical results at any
+device count (the reference needed fold_in(axis_index) to decorrelate per-pmap
+-shard randomness; we fold in only the step).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from clipa_tpu import losses as losses_lib
+from clipa_tpu.ops import preprocess
+from clipa_tpu.parallel import mesh as mesh_lib
+
+Array = jax.Array
+
+
+def make_update_fn(model, tx, config, mesh) -> Callable:
+    """Builds the donated, jitted update(train_state, batch) function."""
+    mask_ratio = float(config.get("mask_ratio", 0.0))
+    loss_kind = config.get("loss", "softmax")  # "softmax" | "sigmoid" | "chunked"
+    normalize_on_device = bool(config.get("cpu_unit8", True))
+    measure_block_norms = bool(config.get("log_block_norms", False))
+    batch_sharding = mesh_lib.batch_sharding(mesh)
+
+    def update(train_state, batch):
+        params, opt, rng, step = (train_state["params"], train_state["opt"],
+                                  train_state["rng"], train_state["step"])
+        images = batch["image"]
+        labels = batch["labels"]
+        images = jax.lax.with_sharding_constraint(images, batch_sharding)
+        labels = jax.lax.with_sharding_constraint(labels, batch_sharding)
+
+        if normalize_on_device and images.dtype == jnp.uint8:
+            images = preprocess.normalize_uint8(images)
+
+        rng_step = jax.random.fold_in(rng, step)
+
+        def loss_fn(params):
+            zimg, ztxt, extras = model.apply(
+                {"params": params}, images, labels, train=True,
+                mask_ratio=mask_ratio,
+                rngs={"dropout": rng_step, "drop_path": rng_step,
+                      "random_mask": rng_step})
+            zimg = jax.lax.with_sharding_constraint(zimg, batch_sharding)
+            ztxt = jax.lax.with_sharding_constraint(ztxt, batch_sharding)
+
+            if loss_kind == "sigmoid":
+                l, l_extras = losses_lib.sigmoid_contrastive_loss(
+                    zimg, ztxt, extras["t"], reduction=True)
+            elif loss_kind == "chunked":
+                from clipa_tpu.ops import infonce
+                l, l_extras = infonce.chunked_contrastive_loss(
+                    zimg, ztxt, extras["t"],
+                    chunk_size=int(config.get("loss_chunk_size", 4096)))
+            else:
+                l, l_extras = losses_lib.bidirectional_contrastive_loss(
+                    zimg, ztxt, extras["t"], reduction=True)
+            return l, {
+                "t": extras["t"][0],
+                "t/parameter": extras["t/parameter"][0],
+                "nimg": jnp.mean(extras["img/norm"]),
+                "ntxt": jnp.mean(extras["txt/norm"]),
+                **{k: jnp.mean(v) for k, v in l_extras.items()},
+            }
+
+        (l, measurements), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params)
+
+        updates, opt = tx.update(grads, opt, params)
+        params = optax.apply_updates(params, updates)
+
+        measurements["training_loss"] = l
+        measurements["l2_grads"] = optax.global_norm(grads)
+        measurements["l2_params"] = optax.global_norm(params)
+        measurements["l2_updates"] = optax.global_norm(updates)
+        if measure_block_norms:
+            measurements.update(_block_norms(grads, config))
+
+        new_state = {"params": params, "opt": opt, "rng": rng,
+                     "step": step + 1}
+        return new_state, measurements
+
+    return jax.jit(update, donate_argnums=(0,))
+
+
+def _block_norms(grads, config):
+    """Per-encoder-block gradient norms (reference telemetry,
+    clipa_jax/main.py:296-381)."""
+    from clipa_tpu import optim
+    out = {}
+    img = grads.get("img", {})
+    for key in ("embedding", "cls", "head"):
+        if key in img:
+            sub = optim.replace_frozen(config.get("schedule", []),
+                                       img[key], 0.0)
+            out[f"l2_grad_{key}"] = optax.global_norm(sub)
+    tr = img.get("Transformer", {})
+    for name, block in tr.items():
+        kern = block.get("MlpBlock_0", {}).get("Dense_1", {}).get("kernel")
+        if kern is not None:
+            out[f"l2_grad_{name}"] = jnp.sqrt(jnp.vdot(kern, kern).real)
+    return out
+
+
+def make_predict_fn(model) -> Callable:
+    """Un-jitted predict fn handed to evaluators (they jit with their own
+    shardings)."""
+    def predict(params, image=None, text=None, **unused):
+        del unused
+        zimg, ztxt, out = model.apply({"params": params}, image, text)
+        return zimg, ztxt, out
+    return predict
+
+
+def init_train_state(model, tx, config, mesh, rng) -> Any:
+    """Initializes params/opt on host then places them with mesh shardings."""
+    img_shape = tuple(config.init_shapes[0])
+    txt_shape = tuple(config.init_shapes[1])
+
+    def init(rng):
+        images = jnp.zeros(img_shape, jnp.float32)
+        labels = jnp.zeros(txt_shape, jnp.int32)
+        variables = model.init(
+            {"params": rng, "dropout": rng, "drop_path": rng,
+             "random_mask": rng},
+            images, labels, train=False)
+        return variables["params"]
+
+    params_shapes = jax.eval_shape(init, rng)
+    fsdp = mesh_lib.fsdp_shardings(params_shapes, mesh)
+    params = jax.jit(init, out_shardings=fsdp)(rng)
+    opt = jax.jit(tx.init,
+                  out_shardings=mesh_lib.fsdp_shardings(
+                      jax.eval_shape(tx.init, params_shapes), mesh))(params)
+    return {
+        "params": params,
+        "opt": opt,
+        "rng": jax.device_put(rng, mesh_lib.replicated_sharding(mesh)),
+        "step": jax.device_put(jnp.zeros((), jnp.int32),
+                               mesh_lib.replicated_sharding(mesh)),
+    }

@@ -1,0 +1,183 @@
+"""Model towers: shapes, param naming (npz parity), masking, variants."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from clipa_tpu import utils as u
+from clipa_tpu.models import text as text_mod
+from clipa_tpu.models import two_towers
+from clipa_tpu.models import vit as vit_mod
+
+
+def tiny_model(**kw):
+    return two_towers.Model(
+        image={"variant": "Ti/16", "pool_type": "tok", "posemb": "sincos2d"},
+        text={"variant": "Ti", "pool_type": "last", "vocab_size": 128},
+        out_dim=(64, 64), temperature_init=1 / 0.07, **kw)
+
+
+@pytest.fixture(scope="module")
+def tiny_params():
+    model = tiny_model()
+    rng = jax.random.PRNGKey(0)
+    images = jnp.zeros((2, 32, 32, 3))
+    texts = jnp.zeros((2, 8), jnp.int32)
+    params = model.init({"params": rng}, images, texts)["params"]
+    return model, params
+
+
+def test_forward_shapes(tiny_params):
+    model, params = tiny_params
+    images = jnp.ones((2, 32, 32, 3))
+    texts = jnp.ones((2, 8), jnp.int32)
+    zimg, ztxt, out = model.apply({"params": params}, images, texts)
+    assert zimg.shape == (2, 64) and ztxt.shape == (2, 64)
+    np.testing.assert_allclose(np.linalg.norm(zimg, axis=1), 1.0, atol=1e-3)
+    np.testing.assert_allclose(np.linalg.norm(ztxt, axis=1), 1.0, atol=1e-3)
+    np.testing.assert_allclose(out["t"], 1 / 0.07, rtol=1e-5)
+
+
+def test_param_names_match_reference_layout(tiny_params):
+    """Released CLIPA npz checkpoints must load: names are the contract."""
+    _, params = tiny_params
+    names = {n for n, _ in u.tree_flatten_with_names(params)[0]}
+    expected_subset = {
+        "t",
+        "img/embedding/kernel",
+        "img/cls",
+        "img/Transformer/encoderblock_0/LayerNorm_0/scale",
+        "img/Transformer/encoderblock_0/MultiHeadDotProductAttention_0/query/kernel",
+        "img/Transformer/encoderblock_0/MultiHeadDotProductAttention_0/out/kernel",
+        "img/Transformer/encoderblock_0/MlpBlock_0/Dense_0/kernel",
+        "img/Transformer/encoderblock_0/MlpBlock_0/Dense_1/bias",
+        "img/Transformer/encoderblock_11/LayerNorm_1/bias",
+        "img/encoder_norm/scale",
+        "img/head/kernel",
+        "txt/Embed_0/embedding",
+        "txt/pos_embedding",
+        "txt/Transformer/encoderblock_0/MultiHeadDotProductAttention_0/key/bias",
+        "txt/encoder_norm/bias",
+        "txt/head/kernel",
+    }
+    missing = expected_subset - names
+    assert not missing, f"Missing reference param names: {sorted(missing)}"
+    # sincos2d posemb must NOT create a learnable img/pos_embedding.
+    assert "img/pos_embedding" not in names
+
+
+def test_attention_param_shapes(tiny_params):
+    _, params = tiny_params
+    attn = params["img"]["Transformer"]["encoderblock_0"][
+        "MultiHeadDotProductAttention_0"]
+    width, heads = 192, 3
+    assert attn["query"]["kernel"].shape == (width, heads, width // heads)
+    assert attn["query"]["bias"].shape == (heads, width // heads)
+    assert attn["out"]["kernel"].shape == (heads, width // heads, width)
+    assert attn["out"]["bias"].shape == (width,)
+
+
+def test_param_count_b16():
+    """ViT-B/16 image tower ~86M params (sanity vs decode_variant table)."""
+    model = vit_mod.Model(variant="B/16", pool_type="tok", posemb="learn")
+    params = jax.eval_shape(
+        lambda rng: model.init(rng, jnp.zeros((1, 224, 224, 3)))["params"],
+        jax.random.PRNGKey(0))
+    n = sum(np.prod(x.shape) for x in jax.tree_util.tree_leaves(params))
+    assert 85e6 < n < 88e6, f"got {n / 1e6:.1f}M"
+
+
+def test_mask_ratio_reduces_tokens():
+    model = vit_mod.Model(variant="Ti/16", pool_type="tok", posemb="sincos2d")
+    rng = jax.random.PRNGKey(0)
+    images = jnp.ones((2, 64, 64, 3))
+    params = model.init({"params": rng}, images)["params"]
+    _, out_full = model.apply({"params": params}, images,
+                              rngs={"random_mask": rng})
+    _, out_masked = model.apply({"params": params}, images, mask_ratio=0.5,
+                                rngs={"random_mask": rng})
+    # 16 patches: full = 16+cls, masked keeps 8+cls.
+    assert out_full["encoded"].shape[1] == 17
+    assert out_masked["encoded"].shape[1] == 9
+
+
+def test_random_masking_determinism():
+    rng = jax.random.PRNGKey(42)
+    x = jnp.arange(2 * 16 * 4, dtype=jnp.float32).reshape(2, 16, 4)
+    kept1, mask1, _ = vit_mod.random_masking(x, 0.25, rng)
+    kept2, mask2, _ = vit_mod.random_masking(x, 0.25, rng)
+    np.testing.assert_array_equal(kept1, kept2)
+    np.testing.assert_array_equal(mask1, mask2)
+    assert kept1.shape == (2, 12, 4)
+    # mask marks exactly L - len_keep positions as removed.
+    np.testing.assert_array_equal(mask1.sum(axis=1), [4, 4])
+
+
+def test_pool_types():
+    for pool in ("tok", "gap", "map", "0"):
+        model = vit_mod.Model(variant="Ti/16", pool_type=pool, posemb="sincos2d")
+        rng = jax.random.PRNGKey(0)
+        images = jnp.ones((1, 32, 32, 3))
+        params = model.init({"params": rng}, images)["params"]
+        z, _ = model.apply({"params": params}, images)
+        assert z.shape == (1, 192) if pool == "0" else z.shape[0] == 1
+
+
+def test_text_pool_types():
+    for pool in ("last", "tok", "gap"):
+        model = text_mod.Model(variant="Ti", pool_type=pool, vocab_size=64)
+        rng = jax.random.PRNGKey(0)
+        texts = jnp.ones((2, 8), jnp.int32)
+        params = model.init({"params": rng}, texts)["params"]
+        z, _ = model.apply({"params": params}, texts)
+        assert z.shape == (2, 192)
+
+
+def test_decode_variant_tables():
+    assert vit_mod.decode_variant("L/14") == {
+        "width": 1024, "depth": 24, "mlp_dim": 4096, "num_heads": 16,
+        "patch_size": (14, 14)}
+    assert vit_mod.decode_variant("H/14")["depth"] == 32
+    # Text B differs from image B (512 wide, 8 heads).
+    t = text_mod.decode_variant("B")
+    assert t["width"] == 512 and t["num_heads"] == 8
+
+
+def test_posemb_sincos2d_properties():
+    pe = vit_mod.posemb_sincos_2d(4, 4, 64, cls_token=True)
+    assert pe.shape == (1, 17, 64)
+    np.testing.assert_array_equal(np.asarray(pe)[0, 0], np.zeros(64))
+
+
+def test_resample_posemb():
+    old = jnp.asarray(np.random.RandomState(0).randn(1, 16, 8), jnp.float32)
+    new = jnp.zeros((1, 64, 8))
+    out = vit_mod.resample_posemb(old, new)
+    assert out.shape == (1, 64, 8)
+    same = vit_mod.resample_posemb(old, jnp.zeros((1, 16, 8)))
+    np.testing.assert_array_equal(same, old)
+
+
+def test_image_only_and_text_only_calls(tiny_params):
+    model, params = tiny_params
+    zimg, ztxt, _ = model.apply({"params": params},
+                                jnp.ones((2, 32, 32, 3)), None)
+    assert ztxt is None and zimg.shape == (2, 64)
+    zimg, ztxt, _ = model.apply({"params": params}, None,
+                                jnp.ones((2, 8), jnp.int32))
+    assert zimg is None and ztxt.shape == (2, 64)
+
+
+def test_bf16_compute_dtype():
+    model = tiny_model(dtype=jnp.bfloat16)
+    rng = jax.random.PRNGKey(0)
+    images = jnp.ones((2, 32, 32, 3))
+    texts = jnp.ones((2, 8), jnp.int32)
+    params = model.init({"params": rng}, images, texts)["params"]
+    # params stay fp32
+    leaf_dtypes = {x.dtype for x in jax.tree_util.tree_leaves(params)}
+    assert leaf_dtypes == {jnp.dtype(jnp.float32)}
+    zimg, ztxt, _ = model.apply({"params": params}, images, texts)
+    # embeddings leave the tower in fp32 for the loss
+    assert zimg.dtype == jnp.float32 and ztxt.dtype == jnp.float32
