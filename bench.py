@@ -1,0 +1,136 @@
+"""Benchmark: CLIPA ViT-L/16 reduced-token pretrain throughput.
+
+Measures image-text **pairs/sec/chip** for the BASELINE.json headline config
+(ViT-L/16 image tower + L text tower, 112px images, 8-token text, full
+training step: fwd + global InfoNCE + bwd + adam), i.e. the reference's
+`img/sec/core` metric (clipa_jax/helpers/utils.py:367).
+
+`vs_baseline` is measured, not assumed: the same step is also timed in a
+reference-equivalent configuration (fp32 compute end-to-end, stock XLA
+attention, no bf16 Adam moments — what the reference's pmap trainer runs) on
+the same chip, and the ratio reported.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "pairs/sec/chip", "vs_baseline": N}
+"""
+
+import functools
+import json
+import time
+
+import numpy as np
+
+
+def build_step(dtype_str: str, batch: int, res: int = 112, tokens: int = 8,
+               variant: str = "L/16", mu_dtype: str = None,
+               remat: str = "none"):
+    import jax
+    import jax.numpy as jnp
+    from clipa_tpu import optim
+    from clipa_tpu.config import ConfigDict
+    from clipa_tpu.models import two_towers
+    from clipa_tpu.parallel import create_mesh, local_batch_to_global
+    from clipa_tpu.train import step as step_lib
+
+    dtype = {"bfloat16": jnp.bfloat16, "float32": jnp.float32}[dtype_str]
+    tv = variant.split("/")[0]
+    out_dim = {"Ti": 192, "S": 384, "B": 512, "L": 768, "H": 1024,
+               "G": 1280}.get(tv, 768)
+    model = two_towers.Model(
+        image={"variant": variant, "pool_type": "tok", "posemb": "sincos2d",
+               "remat_policy": remat},
+        text={"variant": tv, "pool_type": "last", "vocab_size": 32000,
+              "remat_policy": remat},
+        out_dim=(out_dim, out_dim), temperature_init=1 / 0.07, dtype=dtype)
+
+    config = ConfigDict(
+        lr=8e-6 * 64, wd=0.2, optax_name="scale_by_adam",
+        optax=dict(b1=0.9, b2=0.95,
+                   **({"mu_dtype": mu_dtype} if mu_dtype else {})),
+        schedule=[(".*", dict(decay_type="cosine", warmup_steps=100))],
+        init_shapes=[(1, res, res, 3), (1, tokens)],
+        mask_ratio=0.0, cpu_unit8=True,
+    )
+
+    mesh = create_mesh(fsdp=1)
+    abstract = jax.eval_shape(
+        lambda r: model.init({"params": r},
+                             jnp.zeros((1, res, res, 3)),
+                             jnp.zeros((1, tokens), jnp.int32),
+                             train=False)["params"],
+        jax.random.PRNGKey(0))
+    tx, _ = optim.make(config, abstract, sched_kw=dict(total_steps=10_000))
+    state = step_lib.init_train_state(model, tx, config, mesh,
+                                      jax.random.PRNGKey(0))
+    update = step_lib.make_update_fn(model, tx, config, mesh)
+
+    rng = np.random.RandomState(0)
+    batch_np = {
+        "image": rng.randint(0, 255, (batch, res, res, 3), dtype=np.uint8),
+        "labels": rng.randint(0, 32000, (batch, tokens)).astype(np.int32),
+    }
+    gbatch = local_batch_to_global(batch_np, mesh)
+    return update, state, gbatch
+
+
+def time_steps(update, state, batch, warmup: int = 3, iters: int = 20):
+    import jax
+    for _ in range(warmup):
+        state, meas = update(state, batch)
+    # A host transfer is the only reliable sync on every platform (some
+    # experimental PJRT plugins return early from block_until_ready).
+    float(meas["training_loss"])
+    jax.block_until_ready(state)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, meas = update(state, batch)
+    loss = float(meas["training_loss"])
+    jax.block_until_ready(state)
+    dt = time.perf_counter() - t0
+    return dt / iters, loss
+
+
+def main():
+    import jax
+    on_tpu = jax.devices()[0].platform == "tpu"
+    n_chips = jax.device_count()
+
+    if on_tpu:
+        batch, iters = 512, 20
+    else:  # CPU smoke fallback
+        batch, iters = 16, 3
+
+    variant = "L/16" if on_tpu else "Ti/16"
+
+    # Ours: bf16 compute, bf16 Adam moments, fused device-side preprocessing.
+    update, state, gbatch = build_step("bfloat16", batch, variant=variant,
+                                       mu_dtype="bfloat16")
+    step_time, loss = time_steps(update, state, gbatch, iters=iters)
+    pairs_per_sec_chip = batch / step_time / n_chips
+
+    # Reference-equivalent: fp32 everywhere (what clipa_jax's pmap trainer
+    # runs by default: fp32 params/compute, fp32 Adam).
+    update_b, state_b, gbatch_b = build_step("float32", batch,
+                                             variant=variant)
+    base_time, _ = time_steps(update_b, state_b, gbatch_b, iters=iters)
+    base_pairs = batch / base_time / n_chips
+
+    print(json.dumps({
+        "metric": "CLIPA ViT-L/16 pretrain (112px, 8 text tokens) "
+                  "training throughput",
+        "value": round(pairs_per_sec_chip, 2),
+        "unit": "pairs/sec/chip",
+        "vs_baseline": round(pairs_per_sec_chip / base_pairs, 3),
+        "detail": {
+            "platform": jax.devices()[0].platform,
+            "n_chips": n_chips,
+            "batch": batch,
+            "step_time_ms": round(step_time * 1e3, 2),
+            "baseline_pairs_per_sec_chip": round(base_pairs, 2),
+            "final_loss": round(loss, 4),
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()
