@@ -35,6 +35,10 @@ class Registry:
     def lookup(cls, name: str) -> Callable:
         """Looks up `name`, which may carry inline args: `ns.fn(1, k=2)`."""
         base, args, kw = parse_name(name)
+        if base not in cls._registry and base.startswith("preprocess_ops."):
+            # Lazily pull in the standard op modules on first use.
+            import importlib
+            importlib.import_module("clipa_tpu.pp")
         if base not in cls._registry:
             known = ", ".join(sorted(cls._registry))
             raise KeyError(f"Unknown op {base!r}. Known: {known}")
