@@ -1,0 +1,161 @@
+"""Data sources.
+
+API surface follows the reference contract (clipa_jax/datasets/core.py:24-80):
+a source knows its total example count, its per-process share, and yields
+sample dicts. Sources here are TF-free iterators over TFRecord shards (or
+synthetic data); multi-host sharding is an even split of shard files per
+process (the reference uses tfds.even_splits at sub-file granularity —
+file-level splitting keeps readers sequential, which is what object stores
+and the host page cache want).
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+from typing import Any, Iterator, Optional, Sequence
+
+import jax
+import numpy as np
+
+from clipa_tpu.data import tfrecord
+
+
+class DataSource:
+    """Interface: iterate sample dicts, know sizes, shard per process."""
+
+    def total_examples(self) -> int:
+        raise NotImplementedError
+
+    def num_examples_per_process(self) -> int:
+        n, p = self.total_examples(), jax.process_count()
+        return n // p + (jax.process_index() < n % p)
+
+    def iter_process_shard(self, *, repeat: bool = False,
+                           seed: Optional[int] = None) -> Iterator[dict]:
+        """Yields this process's samples; repeat reshuffles shards per epoch."""
+        raise NotImplementedError
+
+
+def even_file_splits(files: Sequence[str], process_index: int,
+                     process_count: int) -> list[str]:
+    """Deterministic even split of shard files across processes."""
+    return [f for i, f in enumerate(sorted(files))
+            if i % process_count == process_index]
+
+
+class TFRecordSource(DataSource):
+    """TFRecord shards of tf.Example protos (e.g. img2dataset LAION output).
+
+    Args:
+      pattern: glob for shard files (or an explicit list).
+      n_examples: total example count; if None, looks for TFDS metadata
+        (dataset_info.json shard_lengths) next to the shards, else counts
+        records on first use (slow; cached).
+      decoders: optional {key: fn} applied to raw features (e.g. SkipDecoding
+        is the default here — jpeg bytes pass through untouched, the pp
+        pipeline decodes).
+    """
+
+    def __init__(self, pattern, n_examples: Optional[int] = None,
+                 keys: Optional[Sequence[str]] = None):
+        if isinstance(pattern, str):
+            self.files = sorted(glob.glob(pattern))
+            if not self.files:
+                raise FileNotFoundError(f"No TFRecord shards match {pattern}")
+        else:
+            self.files = sorted(pattern)
+        self.keys = list(keys) if keys else None
+        self._n = n_examples or self._metadata_count()
+
+    def _metadata_count(self) -> Optional[int]:
+        info = os.path.join(os.path.dirname(self.files[0]),
+                            "dataset_info.json")
+        if os.path.exists(info):
+            with open(info) as f:
+                meta = json.load(f)
+            try:
+                splits = meta["splits"]
+                return sum(int(n) for s in splits
+                           for n in s.get("shardLengths", []))
+            except (KeyError, TypeError, ValueError):
+                pass
+        return None
+
+    def total_examples(self) -> int:
+        if self._n is None:
+            self._n = sum(1 for f in self.files
+                          for _ in tfrecord.read_records(f))
+        return self._n
+
+    def process_files(self) -> list[str]:
+        return even_file_splits(self.files, jax.process_index(),
+                                jax.process_count())
+
+    def iter_process_shard(self, *, repeat: bool = False,
+                           seed: Optional[int] = None) -> Iterator[dict]:
+        files = self.process_files()
+        rng = np.random.default_rng(seed if seed is not None else 0)
+        epoch = 0
+        while True:
+            order = rng.permutation(len(files)) if seed is not None \
+                else np.arange(len(files))
+            for i in order:
+                for payload in tfrecord.read_records(files[int(i)]):
+                    sample = tfrecord.parse_example(payload)
+                    if self.keys:
+                        sample = {k: sample[k] for k in self.keys
+                                  if k in sample}
+                    yield sample
+            epoch += 1
+            if not repeat:
+                return
+
+
+class SyntheticSource(DataSource):
+    """Random JPEG-free image/caption pairs for smoke tests and benchmarks.
+
+    Equivalent to the reference torch trainer's `--dataset-type synthetic`
+    (clipa_torch/training/data.py:469-509).
+    """
+
+    def __init__(self, n_examples: int = 1024, res: int = 64,
+                 captions: Optional[Sequence[str]] = None):
+        self._n = n_examples
+        self.res = res
+        self.captions = list(captions) if captions else [
+            "a photo of a cat", "a photo of a dog",
+            "a picture of a house", "an image of a tree",
+        ]
+
+    def total_examples(self) -> int:
+        return self._n
+
+    def iter_process_shard(self, *, repeat: bool = False,
+                           seed: Optional[int] = None) -> Iterator[dict]:
+        per = self.num_examples_per_process()
+        rng = np.random.default_rng((seed or 0) + jax.process_index())
+        while True:
+            for _ in range(per):
+                cls = int(rng.integers(0, len(self.captions)))
+                img = rng.integers(0, 255, (self.res, self.res, 3),
+                                   dtype=np.uint8)
+                # class-dependent signal so training can actually learn
+                img[..., cls % 3] //= 2
+                yield {"image": img, "texts": self.captions[cls],
+                       "label": cls}
+            if not repeat:
+                return
+
+
+def get_source(name: str, **kw) -> DataSource:
+    """Source factory: 'tfrecord', 'synthetic' (extension point for more)."""
+    factories = {
+        "tfrecord": TFRecordSource,
+        "synthetic": SyntheticSource,
+    }
+    if name not in factories:
+        raise KeyError(f"Unknown data source {name!r}; "
+                       f"known: {list(factories)}")
+    return factories[name](**kw)
