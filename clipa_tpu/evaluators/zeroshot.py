@@ -1,0 +1,146 @@
+"""Zero-shot discriminative classifier — the headline CLIPA metric.
+
+Behavioral parity with the reference evaluator
+(clipa_jax/evaluators/proj/image_text/discriminative_classifier.py:174-472):
+
+  * class texts = canonicalized class names x prompt templates (80
+    CLIP-paper prompts), embedded and averaged per class then re-normalized,
+  * class aliases separated by "," (first_class_name_only),
+  * images streamed once with zero-padding + `_mask`, predictions =
+    argmax(zimg @ ztxt.T), multi-label correctness (a prediction counts if
+    it hits ANY of the example's labels),
+  * metric key `{dataset}_accuracy`.
+
+SPMD design difference: instead of the reference's per-host class-name
+sharding + pmap + psum, both embedding passes are single jit programs over
+the global mesh — batches are globally sharded, the final correct/count
+reduction is a plain sum on replicated scalars (XLA inserts the cross-host
+collectives).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from clipa_tpu import registry
+from clipa_tpu.data import core as data_core
+from clipa_tpu.data import pipeline as pipeline_lib
+from clipa_tpu.evaluators import prompts
+from clipa_tpu.parallel import mesh as mesh_lib
+
+
+class Evaluator:
+    def __init__(self, predict_fn: Callable, mesh, *, batch_size: int = 256,
+                 dataset_names: Sequence[str] = ("imagenet2012",),
+                 data_dir: Optional[str] = None,
+                 split: str = "validation",
+                 class_names=None,
+                 prompt_templates: str = "clip_paper",
+                 canonicalize: bool = True,
+                 pp_img: str = "resize(224)|value_range(-1,1)",
+                 pp_txt: str = "",
+                 first_class_name_only: bool = True,
+                 sources: Optional[dict] = None,
+                 dataset_specs: Optional[dict] = None,
+                 num_workers: int = 8):
+        self.mesh = mesh
+        self.batch_size = batch_size
+        self.num_workers = num_workers
+        self.pp_img_fn = registry.get_preprocess_fn(pp_img)
+        self.pp_txt_fn = registry.get_preprocess_fn(pp_txt)
+        self.datasets = {}
+        for name in dataset_names:
+            names = prompts.get_class_names(
+                name, source=class_names, do_canonicalize=canonicalize)
+            if first_class_name_only:
+                names = [n.split(",")[0].strip() for n in names]
+            if sources and name in sources:
+                source = sources[name]
+            else:
+                spec = (dataset_specs or {}).get(
+                    name, {"name": "tfrecord",
+                           "pattern": f"{data_dir}/{name}*{split}*"})
+                source = data_core.get_source(**spec)
+            self.datasets[name] = {
+                "class_names": names,
+                "templates": prompts.get_prompt_templates(
+                    prompt_templates, do_canonicalize=canonicalize),
+                "source": source,
+            }
+
+        # jitted programs (shared across datasets; shapes are static per
+        # batch size so each compiles once).
+        def embed_texts(params, labels):
+            _, ztxt, _ = predict_fn(params, None, labels)
+            return ztxt
+
+        def count_correct(params, image, ztxt, labels, mask):
+            zimg, _, _ = predict_fn(params, image, None)
+            logits = jnp.dot(zimg, ztxt.T,
+                             precision=jax.lax.Precision.HIGHEST)
+            pred = jnp.argmax(logits, axis=-1)
+            hit = jnp.any(pred[:, None] == labels, axis=-1)
+            return jnp.sum(hit * mask)
+
+        self._embed_texts_jit = jax.jit(embed_texts)
+        self._count_correct_jit = jax.jit(count_correct)
+
+    # ------------------------------------------------------------------ text
+    def _class_embeddings(self, params, dataset_name: str) -> jax.Array:
+        ds = self.datasets[dataset_name]
+        names, templates = ds["class_names"], ds["templates"]
+        n_class, n_tpl = len(names), len(templates)
+
+        texts = [tpl.format(name) for name in names for tpl in templates]
+        tokens = np.stack([
+            self.pp_txt_fn({"texts": t})["labels"] for t in texts])
+
+        # pad to a full global batch multiple
+        bs = self.batch_size
+        total = tokens.shape[0]
+        padded = -(-total // bs) * bs
+        tokens = np.pad(tokens, ((0, padded - total), (0, 0)))
+
+        embs = []
+        for i in range(0, padded, bs):
+            batch = mesh_lib.local_batch_to_global(
+                {"labels": tokens[i:i + bs]}, self.mesh)
+            embs.append(np.asarray(
+                jax.device_get(self._embed_texts_jit(params,
+                                                     batch["labels"]))))
+        z = np.concatenate(embs)[:total]
+        z = z.reshape(n_class, n_tpl, -1).mean(axis=1)
+        z /= np.linalg.norm(z, axis=-1, keepdims=True) + 1e-8
+        return z.astype(np.float32)
+
+    # ----------------------------------------------------------------- image
+    def evaluate(self, params, dataset_name: str) -> dict:
+        ds = self.datasets[dataset_name]
+        ztxt = jax.device_put(self._class_embeddings(params, dataset_name),
+                              mesh_lib.replicated_sharding(self.mesh))
+
+        def pp(sample):
+            out = self.pp_img_fn(dict(sample))
+            label = np.asarray(out.get("label", -1)).reshape(-1)
+            return {"image": out["image"], "label": label}
+
+        batches, _ = pipeline_lib.make_for_inference(
+            ds["source"], pp, self.batch_size, num_workers=self.num_workers)
+
+        correct, count = 0, 0
+        for batch in batches:
+            gbatch = mesh_lib.local_batch_to_global(batch, self.mesh)
+            c = self._count_correct_jit(params, gbatch["image"], ztxt,
+                                        gbatch["label"], gbatch["_mask"])
+            correct += int(jax.device_get(c))
+            count += int(np.sum(jax.device_get(gbatch["_mask"])))
+        return {"accuracy": correct / max(count, 1), "correct": correct,
+                "count": count}
+
+    def run(self, params):
+        return [(f"{name}_accuracy", self.evaluate(params, name)["accuracy"])
+                for name in self.datasets]

@@ -1,0 +1,161 @@
+"""Evaluators: prompts, retrieval ranking math, zero-shot end-to-end."""
+
+import numpy as np
+import pytest
+
+from clipa_tpu.evaluators import prompts
+from clipa_tpu.evaluators.retrieval import (image_to_text_retrieval_eval,
+                                            text_to_image_retrieval_eval)
+
+
+def test_prompt_templates():
+    t = prompts.get_prompt_templates("clip_paper")
+    assert len(t) >= 80
+    assert all("{}" in tpl for tpl in t)
+    assert prompts.get_prompt_templates("class_name_only") == ["{}"]
+
+
+def test_class_names():
+    names = prompts.get_class_names("imagenet2012")
+    assert len(names) == 1000
+    assert "great white shark" in names[:10]
+    custom = prompts.get_class_names("whatever", source=["Cat_1!", "dog"])
+    assert custom == ["cat 1", "dog"]
+
+
+def test_canonicalize():
+    assert prompts.canonicalize("A_photo of-a {}!",
+                                keep_punctuation_exact_string="{}") == \
+        "a photo ofa {}"
+    assert prompts.canonicalize("Hello, World_") == "hello world"
+
+
+def test_label_subsets():
+    assert len(prompts.get_label_subset("imagenet_a")) == 200
+    assert prompts.get_label_subset("imagenet2012") is None
+
+
+def test_retrieval_recall_math():
+    # 2 images, 4 captions (2 per image). Perfect similarity.
+    sim = np.array([
+        [0.9, 0.8, 0.1, 0.2],   # image 0 matches captions 0,1
+        [0.1, 0.0, 0.9, 0.7],   # image 1 matches captions 2,3
+    ])
+    ids = np.array([0, 0, 1, 1])
+    i2t = image_to_text_retrieval_eval(sim, ids, ks=(1,))
+    t2i = text_to_image_retrieval_eval(sim, ids, ks=(1,))
+    assert i2t["Recall@1"] == 1.0
+    assert t2i["Recall@1"] == 1.0
+
+    # break caption 1 -> image 1: img2txt@1 still perfect for image 0
+    sim2 = sim.copy()
+    sim2[1, 2:] = -1.0  # image 1's captions now rank below image 0's
+    i2t2 = image_to_text_retrieval_eval(sim2, ids, ks=(1,))
+    assert i2t2["Recall@1"] == 0.5
+    # caption 2: best image is image0 now (0.1 > -1) -> wrong
+    t2i2 = text_to_image_retrieval_eval(sim2, ids, ks=(1, 2))
+    assert t2i2["Recall@1"] == 0.5
+    assert t2i2["Recall@2"] == 1.0
+
+
+@pytest.fixture(scope="module")
+def trained_tiny(mesh8_module):
+    """Trains the smoke config briefly; returns (config, model, params,
+    predict_fn, mesh)."""
+    import jax
+    from clipa_tpu import optim
+    from clipa_tpu.config import load_config
+    from clipa_tpu.data import core as data_core, pipeline as pipeline_lib
+    from clipa_tpu.models import two_towers
+    from clipa_tpu import registry
+    from clipa_tpu.train import step as step_lib
+    import jax.numpy as jnp
+
+    mesh = mesh8_module
+    config = load_config("clipa_tpu/configs/smoke.py:steps=40,batch=64")
+    model = two_towers.Model(**dict(config.model))
+    tx, _ = optim.make(config, jax.eval_shape(
+        lambda r: model.init({"params": r},
+                             jnp.zeros((1, 32, 32, 3)),
+                             jnp.zeros((1, 8), jnp.int32),
+                             train=False)["params"],
+        jax.random.PRNGKey(0)), sched_kw=dict(total_steps=40))
+    state = step_lib.init_train_state(model, tx, config, mesh,
+                                      jax.random.PRNGKey(0))
+    update = step_lib.make_update_fn(model, tx, config, mesh)
+
+    source = data_core.get_source(**dict(config.input.data))
+    pp_fn = registry.get_preprocess_fn(config.input.pp)
+    batches = pipeline_lib.make_for_train(
+        source, pp_fn, 64, shuffle_buffer=64, seed=0, num_workers=2)
+    it = pipeline_lib.start_input_pipeline(batches, mesh, n_prefetch=1)
+    for _, batch in zip(range(40), it):
+        state, meas = update(state, batch)
+    final_loss = float(meas["training_loss"])
+    predict_fn = step_lib.make_predict_fn(model)
+    return config, state["params"], predict_fn, mesh, final_loss
+
+
+@pytest.fixture(scope="module")
+def mesh8_module():
+    from clipa_tpu.parallel import create_mesh
+    return create_mesh(fsdp=1)
+
+
+def test_zeroshot_beats_chance(trained_tiny):
+    from clipa_tpu.configs.smoke import _vocab_path
+    from clipa_tpu.data import core as data_core
+    from clipa_tpu.evaluators import zeroshot
+
+    config, params, predict_fn, mesh, final_loss = trained_tiny
+    assert final_loss < 4.0  # training moved at all (ln(64)=4.16 at chance)
+
+    captions = ["a photo of a cat", "a photo of a dog",
+                "a picture of a house", "an image of a tree"]
+    eval_source = data_core.SyntheticSource(n_examples=64, res=40,
+                                            captions=captions)
+    ev = zeroshot.Evaluator(
+        predict_fn, mesh, batch_size=32,
+        dataset_names=["synthetic4"],
+        class_names=captions,
+        prompt_templates="class_name_only",
+        pp_img="central_crop(32)",
+        pp_txt=(f'bert_tokenize(inkey="texts", max_len=8, '
+                f'vocab_path="{_vocab_path()}", sample_if_multi=False)'),
+        sources={"synthetic4": eval_source},
+        num_workers=0)
+    results = dict(ev.run(params))
+    acc = results["synthetic4_accuracy"]
+    assert acc > 0.32, f"zero-shot accuracy {acc} not above chance (0.25)"
+
+
+def test_contrastive_evaluator(trained_tiny):
+    from clipa_tpu.data import core as data_core
+    from clipa_tpu.evaluators import contrastive
+
+    config, params, predict_fn, mesh, _ = trained_tiny
+    source = data_core.SyntheticSource(n_examples=48, res=40)
+    ev = contrastive.Evaluator(
+        predict_fn, mesh, batch_size=32, source=source,
+        pp=config.input.pp, num_workers=0)
+    results = dict(ev.run(params))
+    assert np.isfinite(results["loss"])
+    assert 0 <= results["ncorrect"] <= 1
+
+
+def test_retrieval_evaluator(trained_tiny):
+    from clipa_tpu.configs.smoke import _vocab_path
+    from clipa_tpu.data import core as data_core
+    from clipa_tpu.evaluators import retrieval
+
+    config, params, predict_fn, mesh, _ = trained_tiny
+    source = data_core.SyntheticSource(n_examples=24, res=40)
+    ev = retrieval.Evaluator(
+        predict_fn, mesh, batch_size=32, source=source,
+        pp_img="central_crop(32)",
+        pp_txt=(f'bert_tokenize(inkey="texts", max_len=8, '
+                f'vocab_path="{_vocab_path()}", sample_if_multi=False)'),
+        num_workers=0)
+    results = dict(ev.run(params))
+    for k in ("img2txt/Recall@1", "txt2img/Recall@10"):
+        assert 0 <= results[k] <= 1
