@@ -23,10 +23,14 @@ import jax.numpy as jnp
 
 Array = jax.Array
 
-# Sequence length at which the Pallas flash kernel starts paying for itself
-# on TPU (below this the whole score matrix fits comfortably in VMEM and XLA's
-# fusion is already roofline-bound on the QKV matmuls).
-_PALLAS_MIN_SEQ = 256
+# Sequence length at which "auto" starts dispatching to the Pallas flash
+# kernel. Measured on v5e at CLIPA shapes (L<=640, D 64/80, 16 heads): XLA's
+# fused attention is FASTER at every CLIPA resolution — per-(batch*head)
+# kernel programs are too small to amortize invocation overhead — while the
+# flash kernel wins on *memory* (no B*H*L^2 score tensor). Default therefore
+# keeps XLA; lower this (or pass impl="pallas") for long-sequence /
+# memory-bound regimes, e.g. giant-batch 336px unmask-tuning.
+_PALLAS_MIN_SEQ = 1024
 
 
 def _on_tpu() -> bool:
@@ -60,9 +64,8 @@ def dot_product_attention(q: Array, k: Array, v: Array,
 def _pallas_eligible(q: Array, k: Array, mask) -> bool:
     if not _on_tpu() or mask is not None:
         return False
-    lq, lk, d = q.shape[1], k.shape[1], q.shape[-1]
-    return (lq >= _PALLAS_MIN_SEQ and lq % 128 == 0 and lk % 128 == 0
-            and d % 128 == 0)
+    lq, d = q.shape[1], q.shape[-1]
+    return lq >= _PALLAS_MIN_SEQ and d <= 128
 
 
 def _xla_attention(q: Array, k: Array, v: Array,
