@@ -49,6 +49,30 @@ def _rng_of(sample) -> np.random.Generator:
         else _default_rng
 
 
+def _native_lib():
+    """The C++ decode library, or None (PIL fallback)."""
+    try:
+        from clipa_tpu import native
+        return native.load() if native.available() else None
+    except Exception:
+        return None
+
+
+def _native_decode_crop(lib, data: bytes, rng, size: int, area_min, area_max):
+    """Fused libjpeg decode+crop+resize; None on failure (PIL fallback)."""
+    import ctypes
+    w, h = ctypes.c_int(), ctypes.c_int()
+    if lib.jpeg_info(data, len(data), ctypes.byref(w), ctypes.byref(h)) != 0:
+        return None
+    top, left, ch, cw = _sample_inception_box(rng, h.value, w.value,
+                                              area_min, area_max)
+    out = np.empty((size, size, 3), np.uint8)
+    ret = lib.jpeg_decode_crop_resize(
+        data, len(data), top, left, ch, cw, size, size,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+    return out if ret == 0 else None
+
+
 def _to_pil(x):
     Image = _pil()
     if isinstance(x, Image.Image):
@@ -192,6 +216,7 @@ def get_decode_jpeg_and_inception_crop(size: Optional[int] = None,
     """
     del antialias
     Image = _pil()
+    native_lib = _native_lib() if size is not None else None
 
     def _op(data, sample=None):
         rng = _rng_of(sample)
@@ -202,6 +227,12 @@ def get_decode_jpeg_and_inception_crop(size: Optional[int] = None,
                                                       area_max)
             crop = data[top:top + ch, left:left + cw]
             return _resize_np(crop, size, size, method) if size else crop
+
+        if native_lib is not None:
+            out = _native_decode_crop(native_lib, bytes(data), rng, size,
+                                      area_min, area_max)
+            if out is not None:
+                return out
 
         img = Image.open(io.BytesIO(bytes(data)))  # header only (lazy)
         iw, ih = img.size
