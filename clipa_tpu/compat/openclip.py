@@ -1,0 +1,413 @@
+"""open_clip-compatible factory API.
+
+Preserves the public surface clipa_torch exposes
+(clipa_torch/open_clip/factory.py: `create_model_and_transforms`,
+`get_tokenizer`, `list_models`, model-config JSON registry) so downstream
+evaluation scripts port with a backend swap. Under the hood everything is
+the JAX two-tower stack; `CLIPModel.encode_image/encode_text` are jitted.
+
+Model configs live in model_configs/*.json with open_clip field names
+(vision_cfg/text_cfg, pool_style, bert_tokenizer, attention_mask, ... —
+clipa_torch/open_clip/model.py:48-75); `_to_two_towers_cfg` translates them
+to our tower kwargs. Checkpoints load from our flat npz directly, or from a
+torch open_clip state_dict via `convert_torch_state_dict`.
+"""
+
+from __future__ import annotations
+
+import functools
+import json
+import os
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_CONFIG_DIR = os.path.join(os.path.dirname(__file__), "model_configs")
+
+# Default channel statistics (open_clip constants.py). CLIPA-v2/BigVision
+# checkpoints use the ImageNet ("vgg") statistics instead.
+OPENAI_MEAN = (0.48145466, 0.4578275, 0.40821073)
+OPENAI_STD = (0.26862954, 0.26130258, 0.27577711)
+IMAGENET_MEAN = (0.485, 0.456, 0.406)
+IMAGENET_STD = (0.229, 0.224, 0.225)
+
+
+def list_models() -> list[str]:
+    return sorted(f[:-5] for f in os.listdir(_CONFIG_DIR)
+                  if f.endswith(".json"))
+
+
+@functools.lru_cache(maxsize=None)
+def get_model_config(name: str) -> dict:
+    path = os.path.join(_CONFIG_DIR, name + ".json")
+    if not os.path.exists(path):
+        raise KeyError(f"Unknown model {name!r}; known: {list_models()}")
+    with open(path) as f:
+        return json.load(f)
+
+
+def _to_two_towers_cfg(cfg: dict, *, image_size=None, pos_embed=None) -> dict:
+    """open_clip JSON fields -> clipa_tpu.models.two_towers kwargs."""
+    v, t = cfg["vision_cfg"], cfg["text_cfg"]
+    vision_pool = v.get("pool_style", "open_clip")
+    if vision_pool == "big_vision_gap" or (
+            vision_pool == "open_clip" and v.get("global_average_pool")):
+        img_pool = "gap"
+    else:
+        img_pool = "tok"
+    text_pool = {"big_vision_last": "last", "big_vision_tok": "tok",
+                 "open_clip": "last"}.get(t.get("pool_style", "open_clip"),
+                                          "last")
+    width = v["width"]
+    head_width = v.get("head_width", 64)
+    image = dict(
+        variant=None,
+        width=width,
+        depth=v["layers"],
+        num_heads=width // head_width,
+        mlp_dim=int(round(width * v.get("mlp_ratio", 4.0))),
+        patch_size=(v["patch_size"], v["patch_size"]),
+        pool_type=img_pool,
+        posemb=pos_embed or "learn",
+    )
+    text = dict(
+        variant=None,
+        width=t["width"],
+        depth=t["layers"],
+        num_heads=t["heads"],
+        mlp_dim=int(round(t["width"] * t.get("mlp_ratio", 4.0))),
+        pool_type=text_pool,
+        vocab_size=t["vocab_size"],
+    )
+    return dict(image=image, text=text,
+                out_dim=(cfg["embed_dim"], cfg["embed_dim"]),
+                temperature_init=1 / 0.07)
+
+
+class CLIPModel:
+    """Stateful convenience wrapper: flax model + params + jitted encoders."""
+
+    def __init__(self, model, params, config: dict, image_size: int,
+                 context_length: int):
+        self.model = model
+        self.params = params
+        self.config = config
+        self.image_size = image_size
+        self.context_length = context_length
+
+        def _encode_image(params, image, normalize):
+            zimg, _, _ = model.apply({"params": params}, image, None)
+            return zimg if normalize else zimg  # tower output is normalized
+
+        def _encode_text(params, text, normalize):
+            _, ztxt, _ = model.apply({"params": params}, None, text)
+            return ztxt
+
+        self._encode_image = jax.jit(_encode_image, static_argnums=2)
+        self._encode_text = jax.jit(_encode_text, static_argnums=2)
+
+    def encode_image(self, image, normalize: bool = True):
+        image = jnp.asarray(image)
+        if image.ndim == 3:
+            image = image[None]
+        if image.shape[1] == 3 and image.shape[-1] != 3:
+            image = jnp.transpose(image, (0, 2, 3, 1))  # accept NCHW
+        return self._encode_image(self.params, image, normalize)
+
+    def encode_text(self, text, normalize: bool = True):
+        return self._encode_text(self.params, jnp.asarray(text), normalize)
+
+    @property
+    def logit_scale(self):
+        return jnp.exp(self.params["t"])
+
+    def __call__(self, image=None, text=None):
+        zimg = self.encode_image(image) if image is not None else None
+        ztxt = self.encode_text(text) if text is not None else None
+        return zimg, ztxt, self.logit_scale
+
+
+def create_model(model_name: str, pretrained: Optional[str] = None, *,
+                 precision: str = "float32",
+                 force_image_size: Optional[int] = None,
+                 pos_embed: Optional[str] = None,
+                 seed: int = 0, **unused) -> CLIPModel:
+    """Builds (and optionally loads) a CLIPA model by open_clip name."""
+    from clipa_tpu.models import two_towers
+
+    cfg = get_model_config(model_name)
+    image_size = force_image_size or cfg["vision_cfg"]["image_size"]
+    tt_cfg = _to_two_towers_cfg(cfg, pos_embed=pos_embed)
+    dtype = {"float32": None, "bf16": jnp.bfloat16,
+             "bfloat16": jnp.bfloat16}[precision]
+    model = two_towers.Model(dtype=dtype, **tt_cfg)
+
+    ctx = cfg["text_cfg"]["context_length"]
+    rng = jax.random.PRNGKey(seed)
+    params = jax.jit(lambda r: model.init(
+        {"params": r}, jnp.zeros((1, image_size, image_size, 3)),
+        jnp.zeros((1, ctx), jnp.int32))["params"])(rng)
+
+    if pretrained:
+        params = load_checkpoint_params(pretrained, params)
+
+    return CLIPModel(model, params, cfg, image_size, ctx)
+
+
+def load_checkpoint_params(path: str, init_params):
+    """Loads npz (ours) or torch .pt/.bin (open_clip state_dict) weights."""
+    from clipa_tpu.models.common import merge_params
+    from clipa_tpu.train import checkpoint as ckpt
+
+    if path.endswith((".pt", ".pth", ".bin")):
+        import torch
+        sd = torch.load(path, map_location="cpu", weights_only=True)
+        sd = sd.get("state_dict", sd)
+        loaded = convert_torch_state_dict(
+            {k: v.numpy() for k, v in sd.items()})
+    else:
+        loaded = ckpt.load_params(path)
+    return merge_params(loaded, init_params)
+
+
+def convert_torch_state_dict(sd: dict[str, np.ndarray]) -> dict:
+    """open_clip torch state_dict -> our parameter tree (weight converter).
+
+    Handles both `CLIP` (text attrs at top level) and `CustomTextCLIP`
+    (`text.`-prefixed) layouts (clipa_torch/open_clip/model.py:200/277).
+    """
+    from clipa_tpu import utils as u
+
+    sd = {k.replace("module.", ""): v for k, v in sd.items()}
+    if any(k.startswith("text.transformer") for k in sd):
+        tprefix = "text."
+    else:
+        tprefix = ""
+    flat: dict[str, np.ndarray] = {}
+
+    def put(name, val):
+        flat[name] = np.asarray(val)
+
+    # temperature
+    put("t", np.asarray(sd["logit_scale"]).reshape(1))
+
+    # ---- image tower ----
+    conv = sd["visual.conv1.weight"]  # (width, 3, p, p)
+    put("img/embedding/kernel", conv.transpose(2, 3, 1, 0))
+    put("img/cls", sd["visual.class_embedding"].reshape(1, 1, -1))
+    put("img/pos_embedding", sd["visual.positional_embedding"][None])
+    if "visual.proj" in sd:
+        put("img/head/kernel", sd["visual.proj"])
+    put("img/encoder_norm/scale", sd["visual.ln_post.weight"])
+    put("img/encoder_norm/bias", sd["visual.ln_post.bias"])
+    _convert_blocks(sd, "visual.transformer.resblocks", "img", put)
+
+    # ---- text tower ----
+    put("txt/Embed_0/embedding", sd[f"{tprefix}token_embedding.weight"])
+    put("txt/pos_embedding", sd[f"{tprefix}positional_embedding"][None])
+    put("txt/head/kernel", sd[f"{tprefix}text_projection"])
+    put("txt/encoder_norm/scale", sd[f"{tprefix}ln_final.weight"])
+    put("txt/encoder_norm/bias", sd[f"{tprefix}ln_final.bias"])
+    _convert_blocks(sd, f"{tprefix}transformer.resblocks", "txt", put)
+
+    return u.recover_tree(list(flat.keys()), list(flat.values()))
+
+
+def _convert_blocks(sd, prefix, tower, put):
+    depth = 1 + max(int(k.split(".")[len(prefix.split("."))])
+                    for k in sd if k.startswith(prefix))
+    width = sd[f"{prefix}.0.ln_1.weight"].shape[0]
+    # head count from config is not in the state dict; infer a canonical
+    # head_width of 64 unless width is known 80-per-head (H) or 104 (bigG).
+    head_width = {1280: 80, 1664: 104}.get(width, 64)
+    heads = width // head_width
+    for i in range(depth):
+        b = f"{prefix}.{i}"
+        o = f"{tower}/Transformer/encoderblock_{i}"
+        put(f"{o}/LayerNorm_0/scale", sd[f"{b}.ln_1.weight"])
+        put(f"{o}/LayerNorm_0/bias", sd[f"{b}.ln_1.bias"])
+        put(f"{o}/LayerNorm_1/scale", sd[f"{b}.ln_2.weight"])
+        put(f"{o}/LayerNorm_1/bias", sd[f"{b}.ln_2.bias"])
+        wqkv = sd[f"{b}.attn.in_proj_weight"]  # (3w, w)
+        bqkv = sd[f"{b}.attn.in_proj_bias"]
+        for j, name in enumerate(("query", "key", "value")):
+            w = wqkv[j * width:(j + 1) * width]  # (w, w) out,in
+            put(f"{o}/MultiHeadDotProductAttention_0/{name}/kernel",
+                w.T.reshape(width, heads, head_width))
+            put(f"{o}/MultiHeadDotProductAttention_0/{name}/bias",
+                bqkv[j * width:(j + 1) * width].reshape(heads, head_width))
+        wout = sd[f"{b}.attn.out_proj.weight"]  # (w, w) out,in
+        put(f"{o}/MultiHeadDotProductAttention_0/out/kernel",
+            wout.T.reshape(heads, head_width, width))
+        put(f"{o}/MultiHeadDotProductAttention_0/out/bias",
+            sd[f"{b}.attn.out_proj.bias"])
+        put(f"{o}/MlpBlock_0/Dense_0/kernel", sd[f"{b}.mlp.c_fc.weight"].T)
+        put(f"{o}/MlpBlock_0/Dense_0/bias", sd[f"{b}.mlp.c_fc.bias"])
+        put(f"{o}/MlpBlock_0/Dense_1/kernel", sd[f"{b}.mlp.c_proj.weight"].T)
+        put(f"{o}/MlpBlock_0/Dense_1/bias", sd[f"{b}.mlp.c_proj.bias"])
+
+
+def export_torch_state_dict(params) -> dict:
+    """Our parameter tree -> open_clip torch state_dict layout (inverse of
+    convert_torch_state_dict) for users moving checkpoints the other way."""
+    from clipa_tpu import utils as u
+
+    flat = dict(u.tree_flatten_with_names(params)[0])
+    sd: dict[str, np.ndarray] = {}
+    sd["logit_scale"] = np.asarray(flat["t"]).reshape(())
+    sd["visual.conv1.weight"] = np.asarray(
+        flat["img/embedding/kernel"]).transpose(3, 2, 0, 1)
+    sd["visual.class_embedding"] = np.asarray(flat["img/cls"]).reshape(-1)
+    if "img/pos_embedding" in flat:
+        sd["visual.positional_embedding"] = np.asarray(
+            flat["img/pos_embedding"])[0]
+    if "img/head/kernel" in flat:
+        sd["visual.proj"] = np.asarray(flat["img/head/kernel"])
+    sd["visual.ln_post.weight"] = np.asarray(flat["img/encoder_norm/scale"])
+    sd["visual.ln_post.bias"] = np.asarray(flat["img/encoder_norm/bias"])
+    sd["token_embedding.weight"] = np.asarray(flat["txt/Embed_0/embedding"])
+    sd["positional_embedding"] = np.asarray(flat["txt/pos_embedding"])[0]
+    sd["text_projection"] = np.asarray(flat["txt/head/kernel"])
+    sd["ln_final.weight"] = np.asarray(flat["txt/encoder_norm/scale"])
+    sd["ln_final.bias"] = np.asarray(flat["txt/encoder_norm/bias"])
+
+    for tower, prefix in (("img", "visual.transformer.resblocks"),
+                          ("txt", "transformer.resblocks")):
+        i = 0
+        while f"{tower}/Transformer/encoderblock_{i}/LayerNorm_0/scale" in flat:
+            o = f"{tower}/Transformer/encoderblock_{i}"
+            b = f"{prefix}.{i}"
+            sd[f"{b}.ln_1.weight"] = np.asarray(flat[f"{o}/LayerNorm_0/scale"])
+            sd[f"{b}.ln_1.bias"] = np.asarray(flat[f"{o}/LayerNorm_0/bias"])
+            sd[f"{b}.ln_2.weight"] = np.asarray(flat[f"{o}/LayerNorm_1/scale"])
+            sd[f"{b}.ln_2.bias"] = np.asarray(flat[f"{o}/LayerNorm_1/bias"])
+            attn = f"{o}/MultiHeadDotProductAttention_0"
+            width = flat[f"{o}/LayerNorm_0/scale"].shape[0]
+            wq, wk, wv = (np.asarray(flat[f"{attn}/{n}/kernel"]).reshape(
+                width, width).T for n in ("query", "key", "value"))
+            sd[f"{b}.attn.in_proj_weight"] = np.concatenate([wq, wk, wv], 0)
+            sd[f"{b}.attn.in_proj_bias"] = np.concatenate(
+                [np.asarray(flat[f"{attn}/{n}/bias"]).reshape(-1)
+                 for n in ("query", "key", "value")], 0)
+            sd[f"{b}.attn.out_proj.weight"] = np.asarray(
+                flat[f"{attn}/out/kernel"]).reshape(width, width).T
+            sd[f"{b}.attn.out_proj.bias"] = np.asarray(flat[f"{attn}/out/bias"])
+            sd[f"{b}.mlp.c_fc.weight"] = np.asarray(
+                flat[f"{o}/MlpBlock_0/Dense_0/kernel"]).T
+            sd[f"{b}.mlp.c_fc.bias"] = np.asarray(
+                flat[f"{o}/MlpBlock_0/Dense_0/bias"])
+            sd[f"{b}.mlp.c_proj.weight"] = np.asarray(
+                flat[f"{o}/MlpBlock_0/Dense_1/kernel"]).T
+            sd[f"{b}.mlp.c_proj.bias"] = np.asarray(
+                flat[f"{o}/MlpBlock_0/Dense_1/bias"])
+            i += 1
+    return sd
+
+
+# ---------------------------------------------------------------------------
+# transforms + tokenizer
+# ---------------------------------------------------------------------------
+
+def image_transform(image_size: int, is_train: bool, *,
+                    mean=None, std=None, interpolation: str = "bicubic",
+                    square_resize_only: bool = False,
+                    scale=(0.9, 1.0)) -> Callable:
+    """Returns a numpy preprocess callable (PIL/array/bytes -> CHW float32).
+
+    Matches open_clip's transform semantics
+    (clipa_torch/open_clip/transform.py): train = RandomResizedCrop(+flip),
+    eval = Resize+CenterCrop or square resize; output normalized float CHW.
+    """
+    mean = np.asarray(mean or OPENAI_MEAN, np.float32)
+    std = np.asarray(std or OPENAI_STD, np.float32)
+    from clipa_tpu.registry import get_preprocess_fn
+
+    if is_train:
+        pp = get_preprocess_fn(
+            f'decode_jpeg_and_inception_crop(size={image_size}, '
+            f'area_min={int(scale[0] * 100)}, area_max={int(scale[1] * 100)},'
+            f' method="{interpolation}")|flip_lr')
+    elif square_resize_only:
+        pp = get_preprocess_fn(
+            f'decode|resize({image_size}, method="{interpolation}")')
+    else:
+        pp = get_preprocess_fn(
+            f'decode|resize_small({image_size}, method="{interpolation}")|'
+            f'central_crop({image_size})')
+
+    def _transform(image):
+        if hasattr(image, "convert"):  # PIL image
+            image = np.asarray(image.convert("RGB"))
+        out = pp({"image": image, "_rng": np.random.default_rng()})
+        x = out["image"].astype(np.float32) / 255.0
+        x = (x - mean) / std
+        return x.transpose(2, 0, 1)  # CHW for drop-in torch compatibility
+
+    _transform.image_size = image_size
+    return _transform
+
+
+def get_tokenizer(model_name: str, *, vocab_path: Optional[str] = None,
+                  context_length: Optional[int] = None) -> Callable:
+    """Returns texts -> (B, context_length) int32 token array.
+
+    BERT-tokenizer configs (all CLIPA-v2 BigVision models) use our WordPiece
+    stack, with syntax-priority sampling when the config says
+    `text_mask: syntax`. BPE (OpenAI-vocab) configs require a merges file:
+    pass it via vocab_path.
+    """
+    cfg = get_model_config(model_name)["text_cfg"]
+    ctx = context_length or cfg["context_length"]
+    vocab_path = vocab_path or os.environ.get("CLIPA_VOCAB_PATH")
+
+    if not cfg.get("bert_tokenizer") and cfg.get("vocab_size") == 49408 \
+            and not vocab_path:
+        raise ValueError(
+            f"{model_name} uses the OpenAI BPE vocab; provide the merges "
+            f"file via vocab_path= or CLIPA_VOCAB_PATH (offline hosts have "
+            f"no download path). BigVision-suffixed models use WordPiece "
+            f"and work out of the box.")
+    if not vocab_path:
+        raise ValueError("vocab_path (or CLIPA_VOCAB_PATH) is required")
+
+    from clipa_tpu.registry import get_preprocess_fn
+    op_name = ("syntax_tokenize" if cfg.get("text_mask") == "syntax"
+               else "bert_tokenize")
+    pp = get_preprocess_fn(
+        f'{op_name}(inkey="texts", max_len={ctx}, vocab_path="{vocab_path}", '
+        f'sample_if_multi=False)')
+
+    def tokenize(texts, rng=None):
+        if isinstance(texts, (str, bytes)):
+            texts = [texts]
+        rng = rng or np.random.default_rng(0)
+        return np.stack([pp({"texts": t, "_rng": rng})["labels"]
+                         for t in texts])
+
+    tokenize.context_length = ctx
+    return tokenize
+
+
+def create_model_and_transforms(model_name: str,
+                                pretrained: Optional[str] = None, *,
+                                image_mean=None, image_std=None,
+                                force_image_size: Optional[int] = None,
+                                interpolation: str = "bicubic",
+                                square_resize_only: bool = False,
+                                **kw):
+    """The reference's main entry point (factory.py:293): returns
+    (model, preprocess_train, preprocess_val)."""
+    model = create_model(model_name, pretrained,
+                         force_image_size=force_image_size, **kw)
+    mean = image_mean or (IMAGENET_MEAN if "BigVision" in model_name
+                          else OPENAI_MEAN)
+    std = image_std or (IMAGENET_STD if "BigVision" in model_name
+                        else OPENAI_STD)
+    train_t = image_transform(model.image_size, True, mean=mean, std=std,
+                              interpolation=interpolation)
+    val_t = image_transform(model.image_size, False, mean=mean, std=std,
+                            interpolation=interpolation,
+                            square_resize_only=square_resize_only)
+    return model, train_t, val_t
