@@ -10,5 +10,8 @@ def get_model_module(name: str):
         "text_transformer": "clipa_tpu.models.text",
         "proj.image_text.text_transformer": "clipa_tpu.models.text",
         "two_towers": "clipa_tpu.models.two_towers",
+        "convnext": "clipa_tpu.models.convnext",
+        "bert": "clipa_tpu.models.bert",
+        "proj.flaxformer.bert": "clipa_tpu.models.bert",
     }
     return importlib.import_module(aliases.get(name, name))

@@ -181,3 +181,46 @@ def test_bf16_compute_dtype():
     zimg, ztxt, _ = model.apply({"params": params}, images, texts)
     # embeddings leave the tower in fp32 for the loss
     assert zimg.dtype == jnp.float32 and ztxt.dtype == jnp.float32
+
+
+def test_convnext_tower():
+    from clipa_tpu.models import convnext
+    model = convnext.Model(num_classes=32, dims=(16, 32, 64, 128),
+                           depths=(1, 1, 2, 1))
+    rng = jax.random.PRNGKey(0)
+    images = jnp.ones((2, 64, 64, 3))
+    params = model.init({"params": rng}, images)["params"]
+    z, out = model.apply({"params": params}, images)
+    assert z.shape == (2, 32)
+    names = {n for n, _ in u.tree_flatten_with_names(params)[0]}
+    # reference-compatible module names
+    assert "embedding/kernel" in names
+    assert "encoderblock_0/dwconv/kernel" in names
+    assert "stages10/pwconv1/kernel" in names
+    assert "stages21/pwconv2/kernel" in names
+    assert "downsample_layers11/kernel" in names
+
+
+def test_convnext_in_two_towers():
+    model = two_towers.Model(
+        image={"dims": (16, 32, 64, 128), "depths": (1, 1, 2, 1)},
+        image_model="convnext",
+        text={"variant": "Ti", "pool_type": "last", "vocab_size": 64},
+        out_dim=(32, 32), temperature_init=1 / 0.07)
+    rng = jax.random.PRNGKey(0)
+    zimg, ztxt, _ = model.apply(
+        {"params": model.init({"params": rng}, jnp.ones((1, 32, 32, 3)),
+                              jnp.ones((1, 8), jnp.int32))["params"]},
+        jnp.ones((1, 32, 32, 3)), jnp.ones((1, 8), jnp.int32))
+    assert zimg.shape == (1, 32) and ztxt.shape == (1, 32)
+
+
+def test_bert_tower():
+    from clipa_tpu.models import bert
+    model = bert.Model(num_classes=32, width=64, depth=2, mlp_dim=128,
+                       num_heads=4, vocab_size=100, max_len=16)
+    rng = jax.random.PRNGKey(0)
+    tokens = jnp.ones((2, 8), jnp.int32)
+    params = model.init({"params": rng}, tokens)["params"]
+    z, _ = model.apply({"params": params}, tokens)
+    assert z.shape == (2, 32)
