@@ -149,11 +149,47 @@ class SyntheticSource(DataSource):
                 return
 
 
+class MixtureSource(DataSource):
+    """Weighted mixture of sources (multi-dataset training).
+
+    Equivalent of the reference's `sample_from_datasets` mixing
+    (clipa_jax/datasets/input_pipeline.py:99-129): each sample is drawn from
+    source i with probability weight_i (deterministic given the seed).
+    """
+
+    def __init__(self, sources: Sequence, weights: Optional[Sequence[float]]
+                 = None):
+        self.sources = [s if isinstance(s, DataSource) else get_source(**s)
+                        for s in sources]
+        w = np.asarray(weights if weights is not None
+                       else [1.0] * len(self.sources), np.float64)
+        self.weights = w / w.sum()
+
+    def total_examples(self) -> int:
+        return sum(s.total_examples() for s in self.sources)
+
+    def iter_process_shard(self, *, repeat: bool = False,
+                           seed: Optional[int] = None) -> Iterator[dict]:
+        # mixing only makes sense for repeated (training) streams
+        iters = [s.iter_process_shard(repeat=True, seed=seed)
+                 for s in self.sources]
+        rng = np.random.default_rng(seed if seed is not None else 0)
+        budget = self.total_examples()
+        produced = 0
+        while True:
+            i = int(rng.choice(len(iters), p=self.weights))
+            yield next(iters[i])
+            produced += 1
+            if not repeat and produced >= budget:
+                return
+
+
 def get_source(name: str, **kw) -> DataSource:
-    """Source factory: 'tfrecord', 'synthetic' (extension point for more)."""
+    """Source factory: 'tfrecord', 'synthetic', 'mixture'."""
     factories = {
         "tfrecord": TFRecordSource,
         "synthetic": SyntheticSource,
+        "mixture": MixtureSource,
     }
     if name not in factories:
         raise KeyError(f"Unknown data source {name!r}; "

@@ -19,6 +19,8 @@ _TYPE_ALIASES = {
     "proj.image_text.contrastive": "clipa_tpu.evaluators.contrastive",
     "retrieval": "clipa_tpu.evaluators.retrieval",
     "proj.image_text.retrieval": "clipa_tpu.evaluators.retrieval",
+    "fewshot": "clipa_tpu.evaluators.fewshot",
+    "fewshot_lsr": "clipa_tpu.evaluators.fewshot",
 }
 
 _CONTROL_KEYS = ("type", "pred", "prefix", "log_steps", "log_percent",

@@ -7,3 +7,4 @@ from clipa_tpu.pp import augment  # noqa: F401
 from clipa_tpu.pp import ops_general  # noqa: F401
 from clipa_tpu.pp import ops_image  # noqa: F401
 from clipa_tpu.pp import ops_text  # noqa: F401
+from clipa_tpu.pp import randaugment  # noqa: F401

@@ -1,0 +1,76 @@
+"""Few-shot evaluator, mixture source, randaug op."""
+
+import numpy as np
+import pytest
+
+from clipa_tpu.data import core as data_core
+
+
+def test_mixture_source_weights():
+    a = data_core.SyntheticSource(n_examples=100, res=8,
+                                  captions=["only a"])
+    b = data_core.SyntheticSource(n_examples=100, res=8,
+                                  captions=["only b"])
+    mix = data_core.MixtureSource([a, b], weights=[0.9, 0.1])
+    it = mix.iter_process_shard(repeat=True, seed=0)
+    texts = [next(it)["texts"] for _ in range(300)]
+    frac_a = sum(t == "only a" for t in texts) / len(texts)
+    assert 0.8 < frac_a < 0.97
+    assert mix.total_examples() == 200
+
+
+def test_mixture_source_from_config():
+    mix = data_core.get_source(
+        "mixture",
+        sources=[{"name": "synthetic", "n_examples": 10, "res": 8},
+                 {"name": "synthetic", "n_examples": 10, "res": 8}],
+        weights=[1, 1])
+    assert mix.total_examples() == 20
+
+
+def test_randaug_ops_all_run():
+    from clipa_tpu.pp import randaugment
+    from PIL import Image
+    img = Image.fromarray(np.random.RandomState(0).randint(
+        0, 255, (24, 24, 3), np.uint8))
+    rng = np.random.default_rng(0)
+    for fn in randaugment._make_ops():
+        out = fn(img, 15.0, rng)
+        assert np.asarray(out).shape == (24, 24, 3), fn.__name__
+
+
+def test_fewshot_evaluator_separable():
+    """Linearly separable synthetic embeddings: probe must hit ~100%."""
+    import jax
+    from clipa_tpu.evaluators import fewshot
+    from clipa_tpu.parallel import create_mesh
+
+    mesh = create_mesh(fsdp=1)
+
+    class FakeSource(data_core.DataSource):
+        def __init__(self, n, seed):
+            self.n, self.seed = n, seed
+
+        def total_examples(self):
+            return self.n
+
+        def iter_process_shard(self, *, repeat=False, seed=None):
+            rng = np.random.default_rng(self.seed)
+            for i in range(self.n):
+                cls = i % 4
+                img = rng.normal(0, 1.0, (8, 8, 3)).astype(np.float32)
+                # class signal spread over a whole channel plane (64 dims)
+                img[:, :, cls % 3] += 4.0 * (1 if cls < 3 else -1)
+                yield {"image": img, "label": cls}
+
+    def predict_fn(params, image=None, text=None):
+        # "embedding" = mean pooled pixels (enough: signal is linear)
+        z = image.reshape(image.shape[0], -1)
+        return z, None, {}
+
+    ev = fewshot.Evaluator(
+        predict_fn, mesh, batch_size=16,
+        datasets={"toy": (FakeSource(64, 0), FakeSource(32, 1))},
+        shots=(5,), pp="", num_workers=0)
+    results = dict(ev.run(params=None))
+    assert results["toy/5shot"] > 0.9
