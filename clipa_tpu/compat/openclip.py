@@ -362,13 +362,18 @@ def get_tokenizer(model_name: str, *, vocab_path: Optional[str] = None,
     ctx = context_length or cfg["context_length"]
     vocab_path = vocab_path or os.environ.get("CLIPA_VOCAB_PATH")
 
-    if not cfg.get("bert_tokenizer") and cfg.get("vocab_size") == 49408 \
-            and not vocab_path:
-        raise ValueError(
-            f"{model_name} uses the OpenAI BPE vocab; provide the merges "
-            f"file via vocab_path= or CLIPA_VOCAB_PATH (offline hosts have "
-            f"no download path). BigVision-suffixed models use WordPiece "
-            f"and work out of the box.")
+    if not cfg.get("bert_tokenizer") and cfg.get("vocab_size") == 49408:
+        if not vocab_path:
+            raise ValueError(
+                f"{model_name} uses the OpenAI BPE vocab; provide the "
+                f"merges file (bpe_simple_vocab_16e6.txt.gz) via "
+                f"vocab_path= or CLIPA_VOCAB_PATH. BigVision-suffixed "
+                f"models use WordPiece and work out of the box.")
+        from clipa_tpu.pp.bpe_tokenizer import SimpleTokenizer
+        bpe = SimpleTokenizer(vocab_path, context_length=ctx)
+        if cfg.get("text_mask") == "syntax":
+            return _syntax_bpe(bpe, ctx)
+        return bpe
     if not vocab_path:
         raise ValueError("vocab_path (or CLIPA_VOCAB_PATH) is required")
 
@@ -385,6 +390,33 @@ def get_tokenizer(model_name: str, *, vocab_path: Optional[str] = None,
         rng = rng or np.random.default_rng(0)
         return np.stack([pp({"texts": t, "_rng": rng})["labels"]
                          for t in texts])
+
+    tokenize.context_length = ctx
+    return tokenize
+
+
+def _syntax_bpe(bpe, ctx: int):
+    """Syntax-priority word sampling before BPE (the torch
+    syntax_mask_tokenize path, clipa_torch/open_clip/tokenizer.py:281-340)."""
+    import numpy as np
+    from clipa_tpu.pp.ops_text import pos_priorities
+
+    def tokenize(texts, rng=None):
+        if isinstance(texts, (str, bytes)):
+            texts = [texts]
+        out = np.zeros((len(texts), ctx), np.int32)
+        budget = ctx - 2
+        for i, text in enumerate(texts):
+            words = str(text).split()
+            ids = bpe.encode(" ".join(words))
+            if len(ids) > budget and words:
+                pri = pos_priorities(words)
+                order = np.argsort(pri, kind="stable")
+                keep = sorted(order[:budget].tolist())
+                ids = bpe.encode(" ".join(words[k] for k in keep))
+            toks = [bpe.sot] + ids[:budget] + [bpe.eot]
+            out[i, :len(toks)] = toks
+        return out
 
     tokenize.context_length = ctx
     return tokenize

@@ -182,3 +182,81 @@ def mixup_cutmix(batch: dict, rng: np.random.Generator, *,
     out["mix_lam"] = np.asarray(lam, np.float32)
     out["mix_perm"] = perm.astype(np.int32)
     return out
+
+
+# ---------------------------------------------------------------------------
+# color jitter (torchvision semantics) and 3-Augment (DeiT-III)
+# ---------------------------------------------------------------------------
+
+@Registry.register("preprocess_ops.color_jitter")
+@InKeyOutKey(indefault="image", outdefault="image", with_data=True)
+def get_color_jitter(brightness: float = 0.4, contrast: float = 0.4,
+                     saturation: float = 0.4, hue: float = 0.0,
+                     prob: float = 1.0):
+    """torchvision-style ColorJitter (random order, each factor uniform)."""
+    def _op(image, sample=None):
+        rng = _rng_of(sample)
+        if rng.random() >= prob:
+            return image
+        img = np.asarray(image, np.float32)
+        scale = 255.0 if img.max() > 1.5 else 1.0
+        img = img / scale
+        ops = []
+        if brightness:
+            ops.append(lambda x: _adjust_brightness(
+                x, rng.uniform(max(0, 1 - brightness), 1 + brightness)))
+        if contrast:
+            ops.append(lambda x: _adjust_contrast(
+                x, rng.uniform(max(0, 1 - contrast), 1 + contrast)))
+        if saturation:
+            ops.append(lambda x: _adjust_saturation(
+                x, rng.uniform(max(0, 1 - saturation), 1 + saturation)))
+        if hue:
+            ops.append(lambda x: _adjust_hue(x, rng.uniform(-hue, hue)))
+        for i in rng.permutation(len(ops)):
+            img = np.clip(ops[i](img), 0, 1)
+        img = img * scale
+        return img.astype(np.uint8) if scale == 255.0 else img
+    return _op
+
+
+def _gaussian_blur(img: np.ndarray, sigma: float) -> np.ndarray:
+    """Separable gaussian blur (reflect padding), float HWC in [0,1]."""
+    radius = max(1, int(3 * sigma))
+    xs = np.arange(-radius, radius + 1, dtype=np.float32)
+    k = np.exp(-0.5 * (xs / sigma) ** 2)
+    k /= k.sum()
+    pad = np.pad(img, ((radius, radius), (0, 0), (0, 0)), mode="reflect")
+    img = sum(k[i] * pad[i:i + img.shape[0]] for i in range(len(k)))
+    pad = np.pad(img, ((0, 0), (radius, radius), (0, 0)), mode="reflect")
+    img = sum(k[i] * pad[:, i:i + img.shape[1]] for i in range(len(k)))
+    return img
+
+
+@Registry.register("preprocess_ops.three_augment")
+@InKeyOutKey(indefault="image", outdefault="image", with_data=True)
+def get_three_augment(jitter_strength: float = 0.3):
+    """DeiT-III 3-Augment: one of {grayscale, solarize, blur} + color jitter.
+
+    Capability parity with the reference's three_aug.py.
+    """
+    def _op(image, sample=None):
+        rng = _rng_of(sample)
+        img = np.asarray(image, np.float32)
+        scale = 255.0 if img.max() > 1.5 else 1.0
+        img = img / scale
+        choice = int(rng.integers(0, 3))
+        if choice == 0:  # grayscale
+            img = np.repeat((img @ _GRAY_W)[..., None], 3, axis=-1)
+        elif choice == 1:  # solarize
+            img = np.where(img < 0.5, img, 1.0 - img)
+        else:  # gaussian blur
+            img = _gaussian_blur(img, sigma=float(rng.uniform(0.1, 2.0)))
+        # color jitter (brightness/contrast/saturation at fixed strength)
+        s = jitter_strength
+        img = np.clip(_adjust_brightness(img, rng.uniform(1 - s, 1 + s)), 0, 1)
+        img = np.clip(_adjust_contrast(img, rng.uniform(1 - s, 1 + s)), 0, 1)
+        img = np.clip(_adjust_saturation(img, rng.uniform(1 - s, 1 + s)), 0, 1)
+        img = img * scale
+        return img.astype(np.uint8) if scale == 255.0 else img
+    return _op

@@ -66,6 +66,16 @@ def train(config: ConfigDict, workdir: Optional[str] = None) -> dict:
     write_note(f"Training for {total_steps} steps "
                f"({ntrain} examples, global batch {batch_size})")
 
+    if config.get_path("wandb.debug_data"):
+        # pipeline inspection mode: print batch shapes, never train
+        # (reference: clipa_jax/main.py:185-200).
+        for i, batch in enumerate(train_iter):
+            shapes = jax.tree_util.tree_map(
+                lambda x: (x.shape, str(x.dtype)), batch)
+            write_note(f"batch {i}: {shapes}")
+            if i >= 4:
+                return {}
+
     # ----- model / optimizer / state ----------------------------------------
     model_mod = get_model_module(config.get("model_name", "two_towers"))
     model = model_mod.Model(**dict(config.model))
@@ -94,7 +104,20 @@ def train(config: ConfigDict, workdir: Optional[str] = None) -> dict:
     predict_fn = step_lib.make_predict_fn(model)
 
     # ----- metrics / chrono ---------------------------------------------------
-    metric = metrics_lib.MetricWriter(workdir)
+    wandb_run = None
+    if config.get_path("wandb.log_wandb") and jax.process_index() == 0:
+        try:
+            import wandb
+            wandb_run = wandb.init(
+                project=config.get_path("wandb.project", "clipa_tpu"),
+                name=config.get_path("wandb.experiment"),
+                entity=config.get_path("wandb.entity"),
+                mode=("offline" if config.get_path("wandb.wandb_offline")
+                      else "online"),
+                config=dict(config))
+        except Exception as e:  # wandb absent/offline: JSONL still records
+            write_note(f"wandb disabled: {e}")
+    metric = metrics_lib.MetricWriter(workdir, wandb_run=wandb_run)
     metric.write_config(config)
     chrono = metrics_lib.Chrono()
     profiler = metrics_lib.Profiler(

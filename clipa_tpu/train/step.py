@@ -42,6 +42,8 @@ def make_update_fn(model, tx, config, mesh) -> Callable:
     measure_block_norms = bool(config.get("log_block_norms", False))
     batch_sharding = mesh_lib.batch_sharding(mesh)
 
+    accum_steps = int(config.get("grad_accum_steps", 1))
+
     def update(train_state, batch):
         params, opt, rng, step = (train_state["params"], train_state["opt"],
                                   train_state["rng"], train_state["step"])
@@ -55,12 +57,12 @@ def make_update_fn(model, tx, config, mesh) -> Callable:
 
         rng_step = jax.random.fold_in(rng, step)
 
-        def loss_fn(params):
+        def loss_fn(params, images, labels, rng_local):
             zimg, ztxt, extras = model.apply(
                 {"params": params}, images, labels, train=True,
                 mask_ratio=mask_ratio,
-                rngs={"dropout": rng_step, "drop_path": rng_step,
-                      "random_mask": rng_step})
+                rngs={"dropout": rng_local, "drop_path": rng_local,
+                      "random_mask": rng_local})
             zimg = jax.lax.with_sharding_constraint(zimg, batch_sharding)
             ztxt = jax.lax.with_sharding_constraint(ztxt, batch_sharding)
 
@@ -83,8 +85,36 @@ def make_update_fn(model, tx, config, mesh) -> Callable:
                 **{k: jnp.mean(v) for k, v in l_extras.items()},
             }
 
-        (l, measurements), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(params)
+        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+        if accum_steps <= 1:
+            (l, measurements), grads = grad_fn(params, images, labels,
+                                               rng_step)
+        else:
+            # Gradient accumulation (the reference torch trainer's
+            # accum_freq, clipa_torch/training/train.py:217-256): the batch
+            # splits into microbatches scanned sequentially. NOTE: the
+            # contrastive loss is computed per microbatch, so negatives come
+            # from the microbatch, exactly like the reference's accumulation
+            # semantics with cached features.
+            def micro(carry, xs):
+                g_acc, l_acc = carry
+                mb_images, mb_labels, i = xs
+                (l, meas), g = grad_fn(params, mb_images, mb_labels,
+                                       jax.random.fold_in(rng_step, i))
+                g_acc = jax.tree_util.tree_map(jnp.add, g_acc, g)
+                return (g_acc, l_acc + l), meas
+
+            b = images.shape[0] // accum_steps
+            mb_img = images.reshape(accum_steps, b, *images.shape[1:])
+            mb_lab = labels.reshape(accum_steps, b, *labels.shape[1:])
+            zeros = jax.tree_util.tree_map(
+                lambda x: jnp.zeros(x.shape, jnp.float32), params)
+            (grads, l), meas_all = jax.lax.scan(
+                micro, (zeros, jnp.zeros(())),
+                (mb_img, mb_lab, jnp.arange(accum_steps)))
+            grads = jax.tree_util.tree_map(lambda g: g / accum_steps, grads)
+            l = l / accum_steps
+            measurements = jax.tree_util.tree_map(lambda x: x[-1], meas_all)
 
         updates, opt = tx.update(grads, opt, params)
         params = optax.apply_updates(params, updates)

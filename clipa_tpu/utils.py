@@ -162,3 +162,13 @@ def pad_shard_unpad(wrapped: Callable, static_argnums=(0,),
         return jax.tree_util.tree_map(unpad, out)
 
     return pad_shard_unpad_wrapper
+
+
+def sync() -> None:
+    """Multi-host barrier (reference: clipa_jax/helpers/utils.py:723-731).
+
+    All processes block until every process reaches this point.
+    """
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+        multihost_utils.sync_global_devices("clipa_tpu_sync")

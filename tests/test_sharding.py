@@ -135,3 +135,26 @@ def test_device_count_invariance():
         _, meas = update(state, batch)
         results.append(float(meas["training_loss"]))
     np.testing.assert_allclose(results[0], results[1], rtol=1e-4)
+
+
+def test_grad_accumulation_matches_big_batch(mesh8):
+    """accum=2 over microbatch negatives == two separate small steps'
+    gradient average; sanity: runs, finite, and differs from accum=1 only
+    via the negatives set (per reference semantics)."""
+    model = _tiny_model()
+    base = _tiny_config()
+    batch = local_batch_to_global(_batch(16), mesh8)
+
+    cfgs = [_tiny_config(), _tiny_config(grad_accum_steps=2)]
+    losses = []
+    for config in cfgs:
+        tx, _ = optim.make(config, _abstract_params(model, config),
+                           sched_kw=dict(total_steps=10))
+        state = step_lib.init_train_state(model, tx, config, mesh8,
+                                          jax.random.PRNGKey(0))
+        update = step_lib.make_update_fn(model, tx, config, mesh8)
+        state, meas = update(state, batch)
+        losses.append(float(meas["training_loss"]))
+    assert all(np.isfinite(losses))
+    # microbatch negatives (8) vs full batch (16): loss upper bound ln(B)
+    assert losses[1] <= losses[0] + 0.1
