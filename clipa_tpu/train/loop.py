@@ -260,7 +260,17 @@ def main(argv=None):
     parser.add_argument("--config", required=True,
                         help="config file path[:arg_string]")
     parser.add_argument("--workdir", default=None)
+    parser.add_argument("--no-distributed", action="store_true",
+                        help="skip jax.distributed.initialize()")
     args, overrides = parser.parse_known_args(argv)
+
+    # Multi-host bootstrap: on TPU pods the runtime provides coordinator
+    # discovery; single-host runs proceed if initialization isn't possible.
+    if not args.no_distributed:
+        try:
+            jax.distributed.initialize()
+        except Exception:
+            pass
 
     config = load_config(args.config)
     apply_overrides(config, overrides)
