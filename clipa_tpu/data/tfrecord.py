@@ -17,7 +17,6 @@ A C++ reader (clipa_tpu/native) accelerates bulk scans when built.
 
 from __future__ import annotations
 
-import io
 import os
 import struct
 from typing import Any, BinaryIO, Iterator

@@ -58,6 +58,11 @@ class Evaluator:
                 name, source=class_names, do_canonicalize=canonicalize)
             if first_class_name_only:
                 names = [n.split(",")[0].strip() for n in names]
+            # IN-A / IN-R evaluate against 200-class subsets: restrict the
+            # classifier to those classes and remap dataset labels onto them.
+            subset = prompts.get_label_subset(name)
+            if subset is not None:
+                names = [names[i] for i in subset]
             if sources and name in sources:
                 source = sources[name]
             else:

@@ -13,7 +13,7 @@ v5e; the pointwise convs are plain GEMMs on the MXU (the FLOPs bulk).
 
 from __future__ import annotations
 
-from typing import Any, Callable, Iterable, Optional, Sequence, Tuple, Union
+from typing import Any, Callable, Iterable, Optional, Tuple
 
 import flax.linen as nn
 import jax

@@ -16,7 +16,6 @@ CLIPA npz checkpoints load unchanged:
 
 from __future__ import annotations
 
-import functools
 from typing import Any, Callable, Optional
 
 import flax.linen as nn

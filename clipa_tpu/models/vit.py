@@ -17,7 +17,7 @@ TPU-first differences from the reference:
 
 from __future__ import annotations
 
-from typing import Any, Optional, Sequence, Union
+from typing import Any, Optional, Sequence
 
 import flax.linen as nn
 import jax

@@ -15,7 +15,6 @@ Replaces the reference's stock flax MultiHeadDotProductAttention core
 
 from __future__ import annotations
 
-import functools
 from typing import Optional
 
 import jax

@@ -16,7 +16,7 @@ Capability parity with clipa_jax/optim/build_optax.py:27-301:
 from __future__ import annotations
 
 import operator
-from typing import Any, Callable, Sequence
+from typing import Any, Callable
 
 import jax
 import jax.numpy as jnp
@@ -62,6 +62,8 @@ def create_learning_rate_schedule(total_steps: int, batch_size=None,
             shift = timescale - warmup_steps
             lr = jnp.where(warmup_steps < step,
                            lr / jnp.sqrt((step + shift) / timescale), lr)
+        elif decay_type in ("const", "constant"):
+            pass  # warmup/cooldown factors below still apply
         elif decay_type == "stair":
             i = jnp.searchsorted(jnp.asarray(kw.get("steps", [])), step + 1)
             lr = lr * jnp.take(

@@ -14,7 +14,7 @@ from __future__ import annotations
 import ast
 import contextlib
 import functools
-from typing import Any, Callable
+from typing import Callable
 
 
 class Registry:

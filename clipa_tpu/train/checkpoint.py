@@ -13,7 +13,6 @@ from __future__ import annotations
 
 import io
 import os
-import threading
 from concurrent.futures import ThreadPoolExecutor
 from typing import Any, Optional
 

@@ -25,7 +25,6 @@ from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from clipa_tpu import optim as optim_lib
 from clipa_tpu import registry

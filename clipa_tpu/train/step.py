@@ -20,7 +20,6 @@ device count (the reference needed fold_in(axis_index) to decorrelate per-pmap
 
 from __future__ import annotations
 
-import functools
 from typing import Any, Callable
 
 import jax
