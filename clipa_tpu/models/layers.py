@@ -24,6 +24,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from clipa_tpu.ops.attention import dot_product_attention
+from clipa_tpu.ops.quantization import quant_dot
 
 Array = Any
 Dtype = Any
@@ -59,6 +60,7 @@ class MultiHeadAttention(nn.Module):
     use_bias: bool = True
     dtype: Optional[Dtype] = None
     attn_impl: str = "auto"  # "auto" | "xla" | "pallas"
+    quant: Optional[str] = None  # None | "int8"
 
     @nn.compact
     def __call__(self, inputs_q: Array, inputs_kv: Array,
@@ -71,16 +73,16 @@ class MultiHeadAttention(nn.Module):
 
         # Explicit sub-scopes so flat param names match the reference layout.
         q = _ProjIn(self.num_heads, head_dim, self.qkv_kernel_init,
-                    self.use_bias, dtype, name="query")(inputs_q)
+                    self.use_bias, dtype, self.quant, name="query")(inputs_q)
         k = _ProjIn(self.num_heads, head_dim, self.qkv_kernel_init,
-                    self.use_bias, dtype, name="key")(inputs_kv)
+                    self.use_bias, dtype, self.quant, name="key")(inputs_kv)
         v = _ProjIn(self.num_heads, head_dim, self.qkv_kernel_init,
-                    self.use_bias, dtype, name="value")(inputs_kv)
+                    self.use_bias, dtype, self.quant, name="value")(inputs_kv)
 
         y = dot_product_attention(q, k, v, mask=mask, impl=self.attn_impl)
 
         return _ProjOut(d_model, self.out_kernel_init, self.use_bias,
-                        dtype, name="out")(y)
+                        dtype, self.quant, name="out")(y)
 
 
 class _ProjIn(nn.Module):
@@ -90,14 +92,21 @@ class _ProjIn(nn.Module):
     kernel_init: Callable
     use_bias: bool
     dtype: Dtype
+    quant: Optional[str] = None
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
         d_in = x.shape[-1]
         kernel = self.param("kernel", self.kernel_init,
                             (d_in, self.num_heads, self.head_dim), jnp.float32)
-        y = jnp.einsum("...d,dhk->...hk", x.astype(self.dtype),
-                       kernel.astype(self.dtype))
+        if self.quant:
+            y = quant_dot(x.astype(self.dtype), kernel, quant=self.quant,
+                          n_contract=1)
+        else:
+            # direct einsum: XLA keeps the (B, L, H, hd) layout the
+            # attention op wants (a 2D-reshape dot forces padded copies)
+            y = jnp.einsum("...d,dhk->...hk", x.astype(self.dtype),
+                           kernel.astype(self.dtype))
         if self.use_bias:
             bias = self.param("bias", nn.initializers.zeros,
                               (self.num_heads, self.head_dim), jnp.float32)
@@ -111,18 +120,49 @@ class _ProjOut(nn.Module):
     kernel_init: Callable
     use_bias: bool
     dtype: Dtype
+    quant: Optional[str] = None
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
         num_heads, head_dim = x.shape[-2], x.shape[-1]
         kernel = self.param("kernel", self.kernel_init,
                             (num_heads, head_dim, self.d_model), jnp.float32)
-        y = jnp.einsum("...hk,hkd->...d", x.astype(self.dtype),
-                       kernel.astype(self.dtype))
+        if self.quant:
+            y = quant_dot(x.astype(self.dtype), kernel, quant=self.quant,
+                          n_contract=2)
+        else:
+            y = jnp.einsum("...hk,hkd->...d", x.astype(self.dtype),
+                           kernel.astype(self.dtype))
         if self.use_bias:
             bias = self.param("bias", nn.initializers.zeros,
                               (self.d_model,), jnp.float32)
             y = y + bias.astype(self.dtype)
+        return y
+
+
+class QuantDense(nn.Module):
+    """nn.Dense-compatible layer (same param names/shapes) with optional
+    int8 forward matmul."""
+    features: int
+    kernel_init: Callable = nn.initializers.xavier_uniform()
+    bias_init: Callable = nn.initializers.zeros
+    use_bias: bool = True
+    dtype: Optional[Dtype] = None
+    quant: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        dtype = self.dtype or x.dtype
+        kernel = self.param("kernel", self.kernel_init,
+                            (x.shape[-1], self.features), jnp.float32)
+        if self.quant:
+            y = quant_dot(x.astype(dtype), kernel, quant=self.quant)
+        else:
+            y = jnp.dot(x.astype(dtype), kernel.astype(dtype))
+        if self.use_bias:
+            bias = self.param("bias", self.bias_init, (self.features,),
+                              jnp.float32)
+            y = y + bias.astype(dtype)
         return y
 
 
@@ -134,21 +174,20 @@ class MlpBlock(nn.Module):
     fc_init: Callable = nn.initializers.xavier_uniform()
     proj_init: Callable = nn.initializers.xavier_uniform()
     dtype: Optional[Dtype] = None
+    quant: Optional[str] = None
 
     @nn.compact
     def __call__(self, x: Array, deterministic: bool = True) -> Array:
         d = x.shape[-1]
         dtype = self.dtype or x.dtype
-        x = nn.Dense(self.mlp_dim or 4 * d, kernel_init=self.fc_init,
-                     bias_init=nn.initializers.zeros, dtype=dtype,
-                     param_dtype=jnp.float32)(x)
+        x = QuantDense(self.mlp_dim or 4 * d, kernel_init=self.fc_init,
+                       dtype=dtype, quant=self.quant, name="Dense_0")(x)
         # tanh-approximate gelu: matches both reference towers and maps to a
         # cheap fused VPU op on TPU.
         x = nn.gelu(x, approximate=True)
         x = nn.Dropout(rate=self.dropout)(x, deterministic)
-        x = nn.Dense(d, kernel_init=self.proj_init,
-                     bias_init=nn.initializers.zeros, dtype=dtype,
-                     param_dtype=jnp.float32)(x)
+        x = QuantDense(d, kernel_init=self.proj_init, dtype=dtype,
+                       quant=self.quant, name="Dense_1")(x)
         return x
 
 
@@ -165,6 +204,7 @@ class EncoderBlock(nn.Module):
     mlp_proj_init: Callable = nn.initializers.xavier_uniform()
     dtype: Optional[Dtype] = None
     attn_impl: str = "auto"
+    quant: Optional[str] = None
 
     @nn.compact
     def __call__(self, x: Array, deterministic: bool = True) -> Array:
@@ -175,6 +215,7 @@ class EncoderBlock(nn.Module):
             out_kernel_init=self.attn_out_init,
             dtype=self.dtype,
             attn_impl=self.attn_impl,
+            quant=self.quant,
             name="MultiHeadDotProductAttention_0")(y, y)
         y = nn.Dropout(rate=self.dropout)(y, deterministic)
         y = DropPath(rate=self.drop_path)(y, deterministic)
@@ -183,7 +224,8 @@ class EncoderBlock(nn.Module):
         y = nn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32)(x)
         y = MlpBlock(mlp_dim=self.mlp_dim, dropout=self.dropout,
                      fc_init=self.mlp_fc_init, proj_init=self.mlp_proj_init,
-                     dtype=self.dtype, name="MlpBlock_0")(y, deterministic)
+                     dtype=self.dtype, quant=self.quant,
+                     name="MlpBlock_0")(y, deterministic)
         y = nn.Dropout(rate=self.dropout)(y, deterministic)
         y = DropPath(rate=self.drop_path)(y, deterministic)
         return x + y
@@ -206,6 +248,7 @@ class Encoder(nn.Module):
     block_init_fn: Optional[Callable[[int], dict]] = None
     dtype: Optional[Dtype] = None
     attn_impl: str = "auto"
+    quant: Optional[str] = None
 
     @nn.compact
     def __call__(self, x: Array, deterministic: bool = True) -> Array:
@@ -226,6 +269,7 @@ class Encoder(nn.Module):
                 drop_path=float(dpr[i]),
                 dtype=self.dtype,
                 attn_impl=self.attn_impl,
+                quant=self.quant,
                 name=f"encoderblock_{i}",
                 **extra)(x, deterministic)
         return x

@@ -54,6 +54,7 @@ class _Model(nn.Module):
     remat_policy: str = "none"
     dtype: Optional[Any] = None
     attn_impl: str = "auto"
+    quant: Optional[str] = None
 
     @nn.compact
     def __call__(self, text: Array, *, train: bool = False, **unused_kw):
@@ -93,8 +94,8 @@ class _Model(nn.Module):
             dropout=self.dropout, drop_path=self.drop_path,
             remat_policy=self.remat_policy,
             block_init_fn=lambda i: block_inits,
-            dtype=dtype, attn_impl=self.attn_impl, name="Transformer")(
-                x, not train)
+            dtype=dtype, attn_impl=self.attn_impl, quant=self.quant,
+            name="Transformer")(x, not train)
 
         x = nn.LayerNorm(dtype=dtype, param_dtype=jnp.float32,
                          name="encoder_norm")(x)

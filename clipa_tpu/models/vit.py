@@ -110,6 +110,7 @@ class _Model(nn.Module):
     remat_policy: str = "none"
     dtype: Optional[Any] = None  # compute dtype; params always fp32
     attn_impl: str = "auto"
+    quant: Optional[str] = None  # None | "int8" forward matmuls
 
     @nn.compact
     def __call__(self, image: Array, *, train: bool = False,
@@ -162,7 +163,8 @@ class _Model(nn.Module):
             depth=self.depth, num_heads=self.num_heads, mlp_dim=self.mlp_dim,
             dropout=self.dropout, drop_path=self.drop_path,
             remat_policy=self.remat_policy, dtype=dtype,
-            attn_impl=self.attn_impl, name="Transformer")(x, not train)
+            attn_impl=self.attn_impl, quant=self.quant,
+            name="Transformer")(x, not train)
         out["encoded"] = x
 
         if self.pool_type == "map":
