@@ -97,11 +97,12 @@ def load_params(path: str, init_params: Any = None) -> Any:
         base, _, key = path.rpartition(":")
         path = base
     tree = load_checkpoint(None, path)
+    if "params" in tree and isinstance(tree["params"], dict) and \
+            (not key or key.split("/")[0] not in tree):
+        tree = tree["params"]  # full train checkpoint: dig out the params
     if key:
         for part in key.split("/"):
             tree = tree[part]
-    elif "params" in tree and isinstance(tree["params"], dict):
-        tree = tree["params"]
     del init_params
     return tree
 

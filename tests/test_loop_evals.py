@@ -1,0 +1,86 @@
+"""Trainer <-> evaluator integration: evals configured in config.evals run
+during training and at eval_only, reading TFRecord data end to end."""
+
+import io
+import json
+import os
+
+import numpy as np
+import pytest
+
+from clipa_tpu.config import load_config
+from clipa_tpu.data import tfrecord
+from clipa_tpu.train import loop
+
+
+@pytest.fixture(scope="module")
+def eval_tfrecords(tmp_path_factory):
+    """A tiny labeled image dataset as TFRecord shards (imagenet-val style)."""
+    from PIL import Image
+    d = tmp_path_factory.mktemp("evaldata")
+    rng = np.random.RandomState(0)
+    path = str(d / "synthetic4-validation.tfrecord-00000-of-00001")
+
+    def payloads():
+        for i in range(24):
+            cls = i % 4
+            arr = rng.randint(0, 255, (40, 40, 3), dtype=np.uint8)
+            arr[..., cls % 3] //= 2
+            buf = io.BytesIO()
+            Image.fromarray(arr).save(buf, "JPEG")
+            yield tfrecord.build_example({
+                "image": buf.getvalue(),
+                "label": np.asarray([cls]),
+            })
+
+    tfrecord.write_records(path, payloads())
+    return str(d)
+
+
+def test_train_with_contrastive_eval(tmp_path):
+    config = load_config("clipa_tpu/configs/smoke.py:steps=4,batch=16")
+    from clipa_tpu.config import ConfigDict
+    config.evals.val = ConfigDict(
+        type="contrastive",
+        data=ConfigDict(name="synthetic", n_examples=32, res=40),
+        pp=config.input.pp,
+        log_steps=4,
+        num_workers=0,
+    )
+    workdir = str(tmp_path / "run")
+    loop.train(config, workdir)
+    rows = [json.loads(line)
+            for line in open(os.path.join(workdir, "metrics.jsonl"))]
+    keys = {k for r in rows for k in r}
+    assert "val/loss" in keys and "val/ncorrect" in keys
+
+
+def test_eval_only_zeroshot_from_tfrecords(tmp_path, eval_tfrecords):
+    from clipa_tpu.configs.smoke import _vocab_path
+    config = load_config("clipa_tpu/configs/smoke.py:steps=2,batch=16")
+    from clipa_tpu.config import ConfigDict
+    config.eval_only = True
+    config.evals.disclf = ConfigDict(
+        type="zeroshot_classifier",
+        dataset_names=["synthetic4"],
+        dataset_specs=ConfigDict(synthetic4=ConfigDict(
+            name="tfrecord",
+            pattern=f"{eval_tfrecords}/synthetic4-validation*")),
+        class_names=["a photo of a cat", "a photo of a dog",
+                     "a picture of a house", "an image of a tree"],
+        prompt_templates="class_name_only",
+        pp_img='decode|central_crop(32)',
+        pp_txt=(f'bert_tokenize(inkey="texts", max_len=8, '
+                f'vocab_path="{_vocab_path()}", sample_if_multi=False)'),
+        log_steps=2,
+        num_workers=0,
+        batch_size=16,
+        prefix="z/0shot/",
+    )
+    workdir = str(tmp_path / "run")
+    loop.train(config, workdir)
+    rows = [json.loads(line)
+            for line in open(os.path.join(workdir, "metrics.jsonl"))]
+    accs = [r["z/0shot/synthetic4_accuracy"] for r in rows
+            if "z/0shot/synthetic4_accuracy" in r]
+    assert accs and 0.0 <= accs[0] <= 1.0
