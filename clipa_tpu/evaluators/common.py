@@ -28,8 +28,14 @@ _CONTROL_KEYS = ("type", "pred", "prefix", "log_steps", "log_percent",
 
 
 def from_config(config: Any, predict_fns: dict[str, Callable],
-                mesh=None) -> list:
-    """Builds [(name, evaluator, log_steps, prefix)] from config.evals."""
+                mesh=None, total_steps: int = 0) -> list:
+    """Builds [(name, evaluator, log_steps, prefix)] from config.evals.
+
+    Eval cadence may be given in steps/examples/epochs/percent units
+    (resolved like every other duration, reference: evaluators/common.py).
+    """
+    from clipa_tpu.config import steps as steps_cfg
+
     evaluators = []
     specs = dict(config.get("evals", {}))
     for name, cfg in specs.items():
@@ -41,7 +47,9 @@ def from_config(config: Any, predict_fns: dict[str, Callable],
             _TYPE_ALIASES.get(module_name, module_name))
         pred_key = cfg.pop("pred", "predict")
         prefix = cfg.pop("prefix", f"{name}/")
-        log_steps = cfg.pop("log_steps", None)
+        log_steps = steps_cfg(
+            "log", cfg, batch_size=config.get_path("input.batch_size"),
+            total_steps=total_steps, default=None)
         for k in _CONTROL_KEYS:
             cfg.pop(k, None)
         cfg.setdefault("batch_size", config.get(

@@ -178,7 +178,8 @@ def train(config: ConfigDict, workdir: Optional[str] = None) -> dict:
         if not evaluators_cache and config.get("evals"):
             from clipa_tpu.evaluators import common as eval_common
             evaluators_cache.extend(eval_common.from_config(
-                config, {"predict": predict_fn}, mesh=mesh))
+                config, {"predict": predict_fn}, mesh=mesh,
+                total_steps=total_steps))
         return evaluators_cache
 
     def run_evals(step: int, force: bool = False):
