@@ -132,7 +132,10 @@ def _map_threaded(stream: Iterator[dict], fn: Callable, num_workers: int,
         while pending:
             yield pending.popleft().result()
     finally:
-        pool.shutdown(wait=False, cancel_futures=True)
+        try:
+            pool.shutdown(wait=False, cancel_futures=True)
+        except Exception:
+            pass  # interpreter teardown: thread module may be gone already
 
 
 def _batch(stream: Iterator[dict], batch_size: int,
