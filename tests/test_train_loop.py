@@ -55,3 +55,33 @@ def test_npz_params_export_roundtrip(tmp_path):
     assert "img" in params and "txt" in params and "t" in params
     np.testing.assert_allclose(
         params["t"], np.asarray(state["params"]["t"]), rtol=1e-6)
+
+
+def test_model_init_with_dont_load(tmp_path):
+    """config.model_init loads tower weights, dont_load keeps init values."""
+    import jax
+    from clipa_tpu.config import ConfigDict
+    from clipa_tpu.train import checkpoint as ckpt
+
+    # stage 1: short train, export params
+    workdir1 = str(tmp_path / "stage1")
+    config = load_config("clipa_tpu/configs/smoke.py:steps=2,batch=16")
+    state1 = loop.train(config, workdir1)
+    params_npz = os.path.join(workdir1, "params.npz")
+
+    # stage 2: fresh run initialized from stage-1 towers, head re-initialized
+    config2 = load_config("clipa_tpu/configs/smoke.py:steps=2,batch=16")
+    config2.model_init = params_npz
+    config2.model_load = ConfigDict(
+        img_load_kw=ConfigDict(dont_load=["head/kernel"]))
+    workdir2 = str(tmp_path / "stage2")
+    state2 = loop.train(config2, workdir2)
+    assert int(state2["step"]) == 2
+
+
+def test_eval_only_mode(tmp_path):
+    config = load_config("clipa_tpu/configs/smoke.py:steps=3,batch=16")
+    config.eval_only = True
+    state = loop.train(config, str(tmp_path / "run"))
+    # eval_only must not train
+    assert int(state["step"]) == 0
