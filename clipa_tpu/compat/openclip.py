@@ -70,7 +70,8 @@ def _to_two_towers_cfg(cfg: dict, *, image_size=None, pos_embed=None) -> dict:
         mlp_dim=int(round(width * v.get("mlp_ratio", 4.0))),
         patch_size=(v["patch_size"], v["patch_size"]),
         pool_type=img_pool,
-        posemb=pos_embed or "learn",
+        posemb={"sin_cos_2d": "sincos2d"}.get(pos_embed, pos_embed)
+        or "learn",
     )
     text = dict(
         variant=None,

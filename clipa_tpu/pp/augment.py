@@ -234,6 +234,7 @@ def _gaussian_blur(img: np.ndarray, sigma: float) -> np.ndarray:
 
 
 @Registry.register("preprocess_ops.three_augment")
+@Registry.register("preprocess_ops.three_aug")
 @InKeyOutKey(indefault="image", outdefault="image", with_data=True)
 def get_three_augment(jitter_strength: float = 0.3):
     """DeiT-III 3-Augment: one of {grayscale, solarize, blur} + color jitter.

@@ -158,3 +158,21 @@ def test_grad_accumulation_matches_big_batch(mesh8):
     assert all(np.isfinite(losses))
     # microbatch negatives (8) vs full batch (16): loss upper bound ln(B)
     assert losses[1] <= losses[0] + 0.1
+
+
+def test_chunked_loss_equals_softmax_in_step(mesh8):
+    """Full jitted step: 'chunked' and 'softmax' losses agree exactly."""
+    model = _tiny_model()
+    batch = local_batch_to_global(_batch(16), mesh8)
+    losses = {}
+    for kind in ("softmax", "chunked"):
+        config = _tiny_config(loss=kind, loss_chunk_size=4)
+        tx, _ = optim.make(config, _abstract_params(model, config),
+                           sched_kw=dict(total_steps=10))
+        state = step_lib.init_train_state(model, tx, config, mesh8,
+                                          jax.random.PRNGKey(0))
+        update = step_lib.make_update_fn(model, tx, config, mesh8)
+        _, meas = update(state, batch)
+        losses[kind] = float(meas["training_loss"])
+    np.testing.assert_allclose(losses["chunked"], losses["softmax"],
+                               rtol=1e-5)
