@@ -3,7 +3,13 @@
 from clipa_tpu.compat.openclip import (  # noqa: F401
     create_model,
     create_model_and_transforms,
+    create_model_from_pretrained,
     get_model_config,
     get_tokenizer,
     list_models,
+)
+from clipa_tpu.compat.pretrained import (  # noqa: F401
+    download_pretrained,
+    get_pretrained_cfg,
+    list_pretrained,
 )

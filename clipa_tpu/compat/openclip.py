@@ -444,3 +444,10 @@ def create_model_and_transforms(model_name: str,
                             interpolation=interpolation,
                             square_resize_only=square_resize_only)
     return model, train_t, val_t
+
+
+def create_model_from_pretrained(model_name: str, pretrained: str, **kw):
+    """open_clip parity alias: returns (model, preprocess_val)."""
+    model, _, preprocess_val = create_model_and_transforms(
+        model_name, pretrained, **kw)
+    return model, preprocess_val
