@@ -58,6 +58,8 @@ class Evaluator:
                 name, source=class_names, do_canonicalize=canonicalize)
             if first_class_name_only:
                 names = [n.split(",")[0].strip() for n in names]
+            # else: comma-separated aliases all contribute prompts and are
+            # averaged into one class embedding (reference semantics).
             # IN-A / IN-R evaluate against 200-class subsets: restrict the
             # classifier to those classes and remap dataset labels onto them.
             subset = prompts.get_label_subset(name)
@@ -98,9 +100,17 @@ class Evaluator:
     def _class_embeddings(self, params, dataset_name: str) -> jax.Array:
         ds = self.datasets[dataset_name]
         names, templates = ds["class_names"], ds["templates"]
-        n_class, n_tpl = len(names), len(templates)
+        n_class = len(names)
 
-        texts = [tpl.format(name) for name in names for tpl in templates]
+        # Classes may carry comma-separated aliases: every (alias, template)
+        # pair contributes one prompt; the class embedding is the mean.
+        texts, owner = [], []
+        for ci, name in enumerate(names):
+            for alias in [a.strip() for a in name.split(",") if a.strip()]:
+                for tpl in templates:
+                    texts.append(tpl.format(alias))
+                    owner.append(ci)
+        owner = np.asarray(owner)
         tokens = np.stack([
             self.pp_txt_fn({"texts": t})["labels"] for t in texts])
 
@@ -117,8 +127,10 @@ class Evaluator:
             embs.append(np.asarray(
                 jax.device_get(self._embed_texts_jit(params,
                                                      batch["labels"]))))
-        z = np.concatenate(embs)[:total]
-        z = z.reshape(n_class, n_tpl, -1).mean(axis=1)
+        flat = np.concatenate(embs)[:total]
+        z = np.zeros((n_class, flat.shape[-1]), np.float32)
+        np.add.at(z, owner, flat)
+        z /= np.bincount(owner, minlength=n_class)[:, None]
         z /= np.linalg.norm(z, axis=-1, keepdims=True) + 1e-8
         return z.astype(np.float32)
 

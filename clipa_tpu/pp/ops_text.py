@@ -210,3 +210,17 @@ def get_lower():
             return x.decode("utf-8", "replace").lower()
         return str(x).lower()
     return _op
+
+
+@Registry.register("preprocess_ops.clip_i1k_label_names")
+@InKeyOutKey(indefault="label", outdefault="texts")
+def get_clip_i1k_label_names():
+    """Maps an ImageNet-1k integer label to its CLIP-paper class name
+    (reference: clipa_jax/transforms/ops_text.py:32-40)."""
+    from clipa_tpu.evaluators import prompts
+    names = prompts.get_class_names("imagenet2012")
+
+    def _op(label):
+        return names[int(np.asarray(label).reshape(-1)[0])]
+
+    return _op
