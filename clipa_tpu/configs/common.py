@@ -52,7 +52,14 @@ def adam_config(lr: float, wd: float, warmup_steps: int, total_epochs=None,
 def disclf_eval(res: int, tokenizer_pp: str, *, dataset="imagenet2012",
                 data_dir="", split="validation", log_steps=2000,
                 prefix="z/0shot/") -> ConfigDict:
-    """Zero-shot discriminative-classifier evaluator config."""
+    """Zero-shot discriminative-classifier evaluator config.
+
+    pp_img deliberately ends on uint8: the trainer's predict_fn normalizes
+    uint8 on device with the same ImageNet stats as the train step
+    (train/step.py:make_predict_fn), matching the reference's always-
+    normalized eval pp (clipa_jax/configs/clip_common.py:89-138) while
+    keeping the host->device transfer uint8.
+    """
     return ConfigDict(
         type="zeroshot_classifier",
         dataset_names=[dataset],

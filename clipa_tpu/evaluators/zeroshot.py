@@ -16,6 +16,13 @@ sharding + pmap + psum, both embedding passes are single jit programs over
 the global mesh — batches are globally sharded, the final correct/count
 reduction is a plain sum on replicated scalars (XLA inserts the cross-host
 collectives).
+
+Normalization contract: the default `pp_img` yields **uint8** images — the
+predict_fn (train/step.py:make_predict_fn) normalizes them on device with
+the same ImageNet statistics the train step applies, so eval inputs are
+identically distributed with training inputs (the reference's eval pp
+always ends in vgg_value_range: clipa_jax/configs/clip_common.py:89-138).
+A pp_img that applies its own value range emits float and is passed through.
 """
 
 from __future__ import annotations
@@ -41,14 +48,17 @@ class Evaluator:
                  class_names=None,
                  prompt_templates: str = "clip_paper",
                  canonicalize: bool = True,
-                 pp_img: str = "resize(224)|value_range(-1,1)",
+                 pp_img: str = 'resize_small(256, method="bilinear")|'
+                               'central_crop(224)',
                  pp_txt: str = "",
                  first_class_name_only: bool = True,
                  sources: Optional[dict] = None,
                  dataset_specs: Optional[dict] = None,
+                 max_labels: int = 1,
                  num_workers: int = 8):
         self.mesh = mesh
         self.batch_size = batch_size
+        self.max_labels = max_labels
         self.num_workers = num_workers
         self.pp_img_fn = registry.get_preprocess_fn(pp_img)
         self.pp_txt_fn = registry.get_preprocess_fn(pp_txt)
@@ -142,8 +152,14 @@ class Evaluator:
 
         def pp(sample):
             out = self.pp_img_fn(dict(sample))
+            # Multi-label sets (e.g. "are we done with imagenet" protocol)
+            # may attach a ragged list of valid labels; pad to a fixed width
+            # with -1 (never a valid class index) so batches stack.
             label = np.asarray(out.get("label", -1)).reshape(-1)
-            return {"image": out["image"], "label": label}
+            if label.shape[0] < self.max_labels:
+                label = np.pad(label, (0, self.max_labels - label.shape[0]),
+                               constant_values=-1)
+            return {"image": out["image"], "label": label[:self.max_labels]}
 
         batches, _ = pipeline_lib.make_for_inference(
             ds["source"], pp, self.batch_size, num_workers=self.num_workers)

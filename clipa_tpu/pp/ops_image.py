@@ -289,9 +289,7 @@ VGG_MEAN = (0.485 * 255, 0.456 * 255, 0.406 * 255)
 VGG_STD = (0.229 * 255, 0.224 * 255, 0.225 * 255)
 
 
-@Registry.register("preprocess_ops.vgg_value_range")
-@InKeyOutKey(indefault="image", outdefault="image")
-def get_vgg_value_range(mean=VGG_MEAN, std=VGG_STD):
+def _mean_std_op(mean, std):
     mean = np.asarray(mean, np.float32)
     std = np.asarray(std, np.float32)
 
@@ -299,3 +297,22 @@ def get_vgg_value_range(mean=VGG_MEAN, std=VGG_STD):
         return (np.asarray(image, np.float32) - mean) / std
 
     return _op
+
+
+@Registry.register("preprocess_ops.vgg_value_range")
+@InKeyOutKey(indefault="image", outdefault="image")
+def get_vgg_value_range(mean=VGG_MEAN, std=VGG_STD):
+    return _mean_std_op(mean, std)
+
+
+# OpenAI CLIP channel stats (0..255 domain) — the default normalization of
+# the reference's open_clip eval transform (clipa_torch/open_clip/
+# constants.py + transform.py), used by non-BigVision model configs.
+OPENAI_MEAN = (0.48145466 * 255, 0.4578275 * 255, 0.40821073 * 255)
+OPENAI_STD = (0.26862954 * 255, 0.26130258 * 255, 0.27577711 * 255)
+
+
+@Registry.register("preprocess_ops.openai_value_range")
+@InKeyOutKey(indefault="image", outdefault="image")
+def get_openai_value_range(mean=OPENAI_MEAN, std=OPENAI_STD):
+    return _mean_std_op(mean, std)

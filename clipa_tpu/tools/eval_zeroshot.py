@@ -46,8 +46,11 @@ def main(argv=None):
               if args.square_resize else
               f'decode|resize_small({res}, method="bilinear")|'
               f'central_crop({res})')
+    # BigVision-style CLIPA checkpoints trained with ImageNet (vgg) stats;
+    # open_clip-style ones with the OpenAI CLIP stats
+    # (clipa_torch/open_clip/constants.py, transform.py defaults).
     pp_img += "|vgg_value_range" if "BigVision" in args.model else \
-        "|value_range(0, 1)"
+        "|openai_value_range"
     ctx = model.context_length
     ev = zeroshot.Evaluator(
         predict_fn, mesh, batch_size=args.batch_size,

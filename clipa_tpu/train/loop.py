@@ -100,7 +100,8 @@ def train(config: ConfigDict, workdir: Optional[str] = None) -> dict:
     write_note(f"Model has {n_params / 1e6:.1f}M params")
 
     update_fn = step_lib.make_update_fn(model, tx, config, mesh)
-    predict_fn = step_lib.make_predict_fn(model)
+    predict_fn = step_lib.make_predict_fn(
+        model, normalize=bool(config.get("cpu_unit8", True)))
 
     # ----- metrics / chrono ---------------------------------------------------
     wandb_run = None

@@ -151,11 +151,22 @@ def _block_norms(grads, config):
     return out
 
 
-def make_predict_fn(model) -> Callable:
+def make_predict_fn(model, normalize: bool = True) -> Callable:
     """Un-jitted predict fn handed to evaluators (they jit with their own
-    shardings)."""
+    shardings).
+
+    uint8 images are normalized on-device with the exact statistics the
+    train step uses (train/step.py:54-55), so evaluator pp strings stay on
+    the efficient uint8 transfer path and train/eval model inputs are
+    identically distributed (reference eval pp always normalizes:
+    clipa_jax/configs/clip_common.py:89-138). Float images are passed
+    through untouched — a pp string that already applied a value range
+    (e.g. tools/eval_zeroshot.py) is not double-normalized.
+    """
     def predict(params, image=None, text=None, **unused):
         del unused
+        if normalize and image is not None and image.dtype == jnp.uint8:
+            image = preprocess.normalize_uint8(image)
         zimg, ztxt, out = model.apply({"params": params}, image, text)
         return zimg, ztxt, out
     return predict

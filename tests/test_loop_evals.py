@@ -84,3 +84,47 @@ def test_eval_only_zeroshot_from_tfrecords(tmp_path, eval_tfrecords):
     accs = [r["z/0shot/synthetic4_accuracy"] for r in rows
             if "z/0shot/synthetic4_accuracy" in r]
     assert accs and 0.0 <= accs[0] <= 1.0
+
+
+def test_config_path_learns_and_beats_chance(tmp_path):
+    """End-to-end oracle through the *config* path: loop.train on the smoke
+    config must demonstrably learn (train loss drops with margin) and the
+    configured zero-shot evaluator must score above chance — this is the
+    test that certifies train-pp and eval-pp feed identically-distributed
+    model inputs (round-1 Weak #1)."""
+    from clipa_tpu.config import ConfigDict
+    from clipa_tpu.configs.smoke import _vocab_path
+
+    captions = ["a photo of a cat", "a photo of a dog",
+                "a picture of a house", "an image of a tree"]
+    # 80 steps: loss plateaus at ln(64) until ~step 35-45 on both backends.
+    config = load_config("clipa_tpu/configs/smoke.py:steps=80,batch=64")
+    config.schedule = [(".*", dict(decay_type="const", warmup_steps=2))]
+    config.log_training_steps = 20
+    config.ckpt_steps = 80
+    config.evals.disclf = ConfigDict(
+        type="zeroshot_classifier",
+        dataset_names=["synthetic4"],
+        dataset_specs=ConfigDict(synthetic4=ConfigDict(
+            name="synthetic", n_examples=64, res=40, captions=captions)),
+        class_names=captions,
+        prompt_templates="class_name_only",
+        pp_img="central_crop(32)",
+        pp_txt=(f'bert_tokenize(inkey="texts", max_len=8, '
+                f'vocab_path="{_vocab_path()}", sample_if_multi=False)'),
+        log_steps=80,
+        num_workers=0,
+        batch_size=32,
+        prefix="z/0shot/",
+    )
+    workdir = str(tmp_path / "run")
+    loop.train(config, workdir)
+    rows = [json.loads(line)
+            for line in open(os.path.join(workdir, "metrics.jsonl"))]
+    losses = [r["training_loss"] for r in rows if "training_loss" in r]
+    accs = [r["z/0shot/synthetic4_accuracy"] for r in rows
+            if "z/0shot/synthetic4_accuracy" in r]
+    assert losses[-1] < 3.6, f"loss {losses[-1]} lacks margin vs ln(64)=4.16"
+    assert losses[-1] < losses[0] - 0.5, f"loss did not decrease: {losses}"
+    assert accs and accs[-1] > 0.32, \
+        f"zero-shot accuracy {accs} not above chance (0.25)"
