@@ -49,17 +49,25 @@ def get_model_config(name: str) -> dict:
 
 
 def _to_two_towers_cfg(cfg: dict, *, image_size=None, pos_embed=None) -> dict:
-    """open_clip JSON fields -> clipa_tpu.models.two_towers kwargs."""
+    """open_clip JSON fields -> clipa_tpu.models.two_towers kwargs.
+
+    Field semantics and defaults follow the reference dataclasses
+    (clipa_torch/open_clip/model.py:25-75): vision `ln_pre` defaults True,
+    `pool_style` defaults 'open_clip', text `attention_mask` defaults True
+    (causal), gelu defaults to the exact (erf) form.
+    """
     v, t = cfg["vision_cfg"], cfg["text_cfg"]
-    vision_pool = v.get("pool_style", "open_clip")
-    if vision_pool == "big_vision_gap" or (
-            vision_pool == "open_clip" and v.get("global_average_pool")):
-        img_pool = "gap"
-    else:
+    vision_pool_style = v.get("pool_style", "open_clip")
+    if vision_pool_style == "big_vision_gap":
+        img_pool = "gap"           # mean over patch tokens, then ln_post
+    elif vision_pool_style == "big_vision_tok":
         img_pool = "tok"
+    elif v.get("global_average_pool"):
+        img_pool = "gap_all"       # open_clip gap: mean incl. cls token
+    else:
+        img_pool = "tok"           # open_clip cls pooling == tok numerically
     text_pool = {"big_vision_last": "last", "big_vision_tok": "tok",
-                 "open_clip": "last"}.get(t.get("pool_style", "open_clip"),
-                                          "last")
+                 "open_clip": "eot"}[t.get("pool_style", "open_clip")]
     width = v["width"]
     head_width = v.get("head_width", 64)
     image = dict(
@@ -72,6 +80,9 @@ def _to_two_towers_cfg(cfg: dict, *, image_size=None, pos_embed=None) -> dict:
         pool_type=img_pool,
         posemb={"sin_cos_2d": "sincos2d"}.get(pos_embed, pos_embed)
         or "learn",
+        ln_pre=bool(v.get("ln_pre", True)),
+        gelu_approx=v.get("gelu_approximate", "none") == "tanh",
+        ln_eps=1e-5,  # torch nn.LayerNorm default — the compat surface
     )
     text = dict(
         variant=None,
@@ -81,6 +92,9 @@ def _to_two_towers_cfg(cfg: dict, *, image_size=None, pos_embed=None) -> dict:
         mlp_dim=int(round(t["width"] * t.get("mlp_ratio", 4.0))),
         pool_type=text_pool,
         vocab_size=t["vocab_size"],
+        causal_mask=bool(t.get("attention_mask", True)),
+        gelu_approx=t.get("gelu_approximate", "none") == "tanh",
+        ln_eps=1e-5,  # torch nn.LayerNorm default — the compat surface
     )
     return dict(image=image, text=text,
                 out_dim=(cfg["embed_dim"], cfg["embed_dim"]),
@@ -167,21 +181,62 @@ def load_checkpoint_params(path: str, init_params):
         sd = torch.load(path, map_location="cpu", weights_only=True)
         sd = sd.get("state_dict", sd)
         loaded = convert_torch_state_dict(
-            {k: v.numpy() for k, v in sd.items()})
+            {k: v.numpy() for k, v in sd.items()},
+            heads=_heads_from_params(init_params))
     else:
         loaded = ckpt.load_params(path)
     return merge_params(loaded, init_params)
 
 
-def convert_torch_state_dict(sd: dict[str, np.ndarray]) -> dict:
+def _heads_from_params(params) -> dict:
+    """Reads the per-tower head count off the init params' qkv kernel shapes
+    ((d, H, hd)) so the converter never guesses head_width."""
+    heads = {}
+    for tower in ("img", "txt"):
+        try:
+            k = params[tower]["Transformer"]["encoderblock_0"][
+                "MultiHeadDotProductAttention_0"]["query"]["kernel"]
+            heads[tower] = int(k.shape[1])
+        except (KeyError, TypeError):
+            pass
+    return heads
+
+
+class _ConsumingDict(dict):
+    """Dict that records which keys were read, so the converter can prove it
+    consumed the whole state dict (silently dropped weights = wrong numbers,
+    round-1 Missing #2)."""
+
+    def __init__(self, data):
+        super().__init__(data)
+        self.consumed = set()
+
+    def __getitem__(self, k):
+        self.consumed.add(k)
+        return super().__getitem__(k)
+
+    def unconsumed(self):
+        return sorted(set(self) - self.consumed)
+
+
+# state_dict entries that carry no weights we need (buffers etc.).
+_IGNORABLE_TORCH_KEYS = ("attn_mask", "position_ids", "logit_bias")
+
+
+def convert_torch_state_dict(sd: dict[str, np.ndarray], *,
+                             strict: bool = True,
+                             heads: Optional[dict] = None) -> dict:
     """open_clip torch state_dict -> our parameter tree (weight converter).
 
     Handles both `CLIP` (text attrs at top level) and `CustomTextCLIP`
     (`text.`-prefixed) layouts (clipa_torch/open_clip/model.py:200/277).
+    With strict=True (default) raises if any state-dict tensor other than
+    known non-weight buffers is left unconsumed.
     """
     from clipa_tpu import utils as u
 
-    sd = {k.replace("module.", ""): v for k, v in sd.items()}
+    sd = _ConsumingDict(
+        {k.replace("module.", ""): v for k, v in sd.items()})
     if any(k.startswith("text.transformer") for k in sd):
         tprefix = "text."
     else:
@@ -201,9 +256,13 @@ def convert_torch_state_dict(sd: dict[str, np.ndarray]) -> dict:
     put("img/pos_embedding", sd["visual.positional_embedding"][None])
     if "visual.proj" in sd:
         put("img/head/kernel", sd["visual.proj"])
+    if "visual.ln_pre.weight" in sd:
+        put("img/ln_pre/scale", sd["visual.ln_pre.weight"])
+        put("img/ln_pre/bias", sd["visual.ln_pre.bias"])
     put("img/encoder_norm/scale", sd["visual.ln_post.weight"])
     put("img/encoder_norm/bias", sd["visual.ln_post.bias"])
-    _convert_blocks(sd, "visual.transformer.resblocks", "img", put)
+    _convert_blocks(sd, "visual.transformer.resblocks", "img", put,
+                    heads=(heads or {}).get("img"))
 
     # ---- text tower ----
     put("txt/Embed_0/embedding", sd[f"{tprefix}token_embedding.weight"])
@@ -211,19 +270,30 @@ def convert_torch_state_dict(sd: dict[str, np.ndarray]) -> dict:
     put("txt/head/kernel", sd[f"{tprefix}text_projection"])
     put("txt/encoder_norm/scale", sd[f"{tprefix}ln_final.weight"])
     put("txt/encoder_norm/bias", sd[f"{tprefix}ln_final.bias"])
-    _convert_blocks(sd, f"{tprefix}transformer.resblocks", "txt", put)
+    _convert_blocks(sd, f"{tprefix}transformer.resblocks", "txt", put,
+                    heads=(heads or {}).get("txt"))
+
+    leftover = [k for k in sd.unconsumed()
+                if not k.endswith(_IGNORABLE_TORCH_KEYS)]
+    if leftover and strict:
+        raise ValueError(
+            f"convert_torch_state_dict left {len(leftover)} state-dict "
+            f"entries unconsumed (model family not fully supported; "
+            f"loading would silently drop weights): {leftover[:10]}")
 
     return u.recover_tree(list(flat.keys()), list(flat.values()))
 
 
-def _convert_blocks(sd, prefix, tower, put):
+def _convert_blocks(sd, prefix, tower, put, heads=None):
     depth = 1 + max(int(k.split(".")[len(prefix.split("."))])
                     for k in sd if k.startswith(prefix))
     width = sd[f"{prefix}.0.ln_1.weight"].shape[0]
-    # head count from config is not in the state dict; infer a canonical
-    # head_width of 64 unless width is known 80-per-head (H) or 104 (bigG).
-    head_width = {1280: 80, 1664: 104}.get(width, 64)
-    heads = width // head_width
+    if heads is None:
+        # head count is not in the state dict; infer a canonical head_width
+        # of 64 unless width is known 80-per-head (H) or 104 (bigG). Callers
+        # with init params pass heads explicitly (_heads_from_params).
+        heads = width // {1280: 80, 1664: 104}.get(width, 64)
+    head_width = width // heads
     for i in range(depth):
         b = f"{prefix}.{i}"
         o = f"{tower}/Transformer/encoderblock_{i}"
@@ -268,6 +338,9 @@ def export_torch_state_dict(params) -> dict:
         sd["visual.proj"] = np.asarray(flat["img/head/kernel"])
     sd["visual.ln_post.weight"] = np.asarray(flat["img/encoder_norm/scale"])
     sd["visual.ln_post.bias"] = np.asarray(flat["img/encoder_norm/bias"])
+    if "img/ln_pre/scale" in flat:
+        sd["visual.ln_pre.weight"] = np.asarray(flat["img/ln_pre/scale"])
+        sd["visual.ln_pre.bias"] = np.asarray(flat["img/ln_pre/bias"])
     sd["token_embedding.weight"] = np.asarray(flat["txt/Embed_0/embedding"])
     sd["positional_embedding"] = np.asarray(flat["txt/pos_embedding"])[0]
     sd["text_projection"] = np.asarray(flat["txt/head/kernel"])

@@ -28,7 +28,7 @@ def get_config(arg=None):
 
     img_name = arg.img
     txt_name = img_name.split("/")[0]
-    vocab_path = arg.vocab_path or "data/vocab.txt"
+    vocab_path = arg.vocab_path or common.default_vocab_path()
 
     config = ConfigDict()
     config.seed = 0

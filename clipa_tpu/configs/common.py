@@ -2,7 +2,19 @@
 
 from __future__ import annotations
 
+import os
+
 from clipa_tpu.config import ConfigDict
+
+
+def default_vocab_path() -> str:
+    """The shipped 30522-entry BERT uncased WordPiece vocab (parity artifact
+    with the reference's data/vocab.txt — all CLIPA-v2 text towers tokenize
+    with it). Resolves relative to the repo root so configs work from any
+    CWD; falls back to the plain relative path if the tree moved."""
+    here = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__)))), "data", "vocab.txt")
+    return here if os.path.exists(here) else "data/vocab.txt"
 
 
 # Image-variant -> (embedding dim) used for the shared projection space,

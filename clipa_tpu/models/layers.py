@@ -167,7 +167,13 @@ class QuantDense(nn.Module):
 
 
 class MlpBlock(nn.Module):
-    """Transformer feed-forward block: Dense -> gelu(tanh) -> Dense."""
+    """Transformer feed-forward block: Dense -> gelu -> Dense.
+
+    gelu_approx=True (tanh approximation) matches the BigVision/CLIPA-v2
+    towers and maps to a cheap fused VPU op; False (erf gelu) matches the
+    open_clip default (`gelu_approximate: none`,
+    clipa_torch/open_clip/model.py:50) needed for CLIPA-v1-style checkpoints.
+    """
 
     mlp_dim: Optional[int] = None  # defaults to 4x model width
     dropout: float = 0.0
@@ -175,6 +181,7 @@ class MlpBlock(nn.Module):
     proj_init: Callable = nn.initializers.xavier_uniform()
     dtype: Optional[Dtype] = None
     quant: Optional[str] = None
+    gelu_approx: bool = True
 
     @nn.compact
     def __call__(self, x: Array, deterministic: bool = True) -> Array:
@@ -182,9 +189,7 @@ class MlpBlock(nn.Module):
         dtype = self.dtype or x.dtype
         x = QuantDense(self.mlp_dim or 4 * d, kernel_init=self.fc_init,
                        dtype=dtype, quant=self.quant, name="Dense_0")(x)
-        # tanh-approximate gelu: matches both reference towers and maps to a
-        # cheap fused VPU op on TPU.
-        x = nn.gelu(x, approximate=True)
+        x = nn.gelu(x, approximate=self.gelu_approx)
         x = nn.Dropout(rate=self.dropout)(x, deterministic)
         x = QuantDense(d, kernel_init=self.proj_init, dtype=dtype,
                        quant=self.quant, name="Dense_1")(x)
@@ -205,10 +210,15 @@ class EncoderBlock(nn.Module):
     dtype: Optional[Dtype] = None
     attn_impl: str = "auto"
     quant: Optional[str] = None
+    gelu_approx: bool = True
+    # flax/big_vision default 1e-6; torch/open_clip checkpoints use 1e-5.
+    ln_eps: float = 1e-6
 
     @nn.compact
-    def __call__(self, x: Array, deterministic: bool = True) -> Array:
-        y = nn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32)(x)
+    def __call__(self, x: Array, deterministic: bool = True,
+                 mask: Optional[Array] = None) -> Array:
+        y = nn.LayerNorm(epsilon=self.ln_eps, dtype=self.dtype,
+                         param_dtype=jnp.float32)(x)
         y = MultiHeadAttention(
             num_heads=self.num_heads,
             qkv_kernel_init=self.attn_qkv_init,
@@ -216,15 +226,17 @@ class EncoderBlock(nn.Module):
             dtype=self.dtype,
             attn_impl=self.attn_impl,
             quant=self.quant,
-            name="MultiHeadDotProductAttention_0")(y, y)
+            name="MultiHeadDotProductAttention_0")(y, y, mask=mask)
         y = nn.Dropout(rate=self.dropout)(y, deterministic)
         y = DropPath(rate=self.drop_path)(y, deterministic)
         x = x + y
 
-        y = nn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32)(x)
+        y = nn.LayerNorm(epsilon=self.ln_eps, dtype=self.dtype,
+                         param_dtype=jnp.float32)(x)
         y = MlpBlock(mlp_dim=self.mlp_dim, dropout=self.dropout,
                      fc_init=self.mlp_fc_init, proj_init=self.mlp_proj_init,
                      dtype=self.dtype, quant=self.quant,
+                     gelu_approx=self.gelu_approx,
                      name="MlpBlock_0")(y, deterministic)
         y = nn.Dropout(rate=self.dropout)(y, deterministic)
         y = DropPath(rate=self.drop_path)(y, deterministic)
@@ -249,13 +261,15 @@ class Encoder(nn.Module):
     dtype: Optional[Dtype] = None
     attn_impl: str = "auto"
     quant: Optional[str] = None
+    gelu_approx: bool = True
+    ln_eps: float = 1e-6
 
     @nn.compact
-    def __call__(self, x: Array, deterministic: bool = True) -> Array:
+    def __call__(self, x: Array, deterministic: bool = True,
+                 mask: Optional[Array] = None) -> Array:
         block_cls = EncoderBlock
         if self.remat_policy not in (None, "none"):
-            policy = (jax.checkpoint_policies.checkpoint_dots_with_no_batch_dims
-                      if self.remat_policy == "minimal" else None)
+            policy = _remat_policy(self.remat_policy)
             block_cls = nn.remat(EncoderBlock, prevent_cse=True,
                                  policy=policy, static_argnums=(2,))
 
@@ -270,6 +284,14 @@ class Encoder(nn.Module):
                 dtype=self.dtype,
                 attn_impl=self.attn_impl,
                 quant=self.quant,
+                gelu_approx=self.gelu_approx,
+                ln_eps=self.ln_eps,
                 name=f"encoderblock_{i}",
-                **extra)(x, deterministic)
+                **extra)(x, deterministic, mask)
         return x
+
+
+def _remat_policy(name: str):
+    if name == "minimal":
+        return jax.checkpoint_policies.checkpoint_dots_with_no_batch_dims
+    return None

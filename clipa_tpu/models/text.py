@@ -48,13 +48,21 @@ class _Model(nn.Module):
     dropout: float = 0.0
     drop_path: float = 0.0
     posemb: str = "learn"  # or "sincos1d"
-    pool_type: str = "last"  # "last" | "tok" | "gap"
+    pool_type: str = "last"  # "last" | "tok" | "gap" | "eot"
     vocab_size: int = 32000
     head_zeroinit: bool = False
     remat_policy: str = "none"
     dtype: Optional[Any] = None
     attn_impl: str = "auto"
     quant: Optional[str] = None
+    # open_clip-variant fidelity: causal (autoregressive) attention mask,
+    # the open_clip TextTransformer default (`attention_mask: true`,
+    # clipa_torch/open_clip/transformer.py:619-625). CLIPA-v2/BigVision
+    # towers are bidirectional (attention_mask: false).
+    causal_mask: bool = False
+    gelu_approx: bool = True
+    # LayerNorm epsilon: flax/big_vision 1e-6, torch/open_clip 1e-5
+    ln_eps: float = 1e-6
 
     @nn.compact
     def __call__(self, text: Array, *, train: bool = False, **unused_kw):
@@ -89,16 +97,21 @@ class _Model(nn.Module):
             mlp_fc_init=nn.initializers.normal(stddev=init_std["fc"]),
             mlp_proj_init=nn.initializers.normal(stddev=init_std["proj"]),
         )
+        mask = None
+        if self.causal_mask:
+            mask = jnp.tril(jnp.ones((l, l), bool))[None, None]
+
         x = layers.Encoder(
             depth=self.depth, num_heads=self.num_heads, mlp_dim=self.mlp_dim,
             dropout=self.dropout, drop_path=self.drop_path,
             remat_policy=self.remat_policy,
             block_init_fn=lambda i: block_inits,
             dtype=dtype, attn_impl=self.attn_impl, quant=self.quant,
-            name="Transformer")(x, not train)
+            gelu_approx=self.gelu_approx, ln_eps=self.ln_eps,
+            name="Transformer")(x, not train, mask)
 
-        x = nn.LayerNorm(dtype=dtype, param_dtype=jnp.float32,
-                         name="encoder_norm")(x)
+        x = nn.LayerNorm(epsilon=self.ln_eps, dtype=dtype,
+                         param_dtype=jnp.float32, name="encoder_norm")(x)
 
         if self.pool_type == "last":
             x = x[:, -1, :]
@@ -106,6 +119,11 @@ class _Model(nn.Module):
             x = x[:, 0]
         elif self.pool_type == "gap":
             x = jnp.mean(x[:, 1:], axis=1)
+        elif self.pool_type == "eot":
+            # open_clip pooling: the eot token carries the sentence embedding
+            # and has the highest token id in each BPE sequence
+            # (clipa_torch/open_clip/transformer.py:661-663).
+            x = x[jnp.arange(x.shape[0]), jnp.argmax(text, axis=-1)]
         else:
             raise ValueError(f"Unknown pool_type {self.pool_type!r}")
         out["head_input"] = x

@@ -104,13 +104,20 @@ class _Model(nn.Module):
     posemb: str = "learn"  # or "sincos2d"
     dropout: float = 0.0
     drop_path: float = 0.0
-    pool_type: str = "gap"  # "map" | "tok" | "gap" | "0"
+    pool_type: str = "gap"  # "map" | "tok" | "gap" | "gap_all" | "0"
     head_zeroinit: bool = False
     patch_embed: str = "conv"  # or "linear"
     remat_policy: str = "none"
     dtype: Optional[Any] = None  # compute dtype; params always fp32
     attn_impl: str = "auto"
     quant: Optional[str] = None  # None | "int8" forward matmuls
+    # open_clip-variant fidelity (CLIPA-v1-style checkpoints):
+    # pre-transformer LayerNorm (clipa_torch/open_clip/transformer.py:391)
+    ln_pre: bool = False
+    # tanh-approximate gelu (BigVision) vs erf gelu (open_clip default)
+    gelu_approx: bool = True
+    # LayerNorm epsilon: flax/big_vision 1e-6, torch/open_clip 1e-5
+    ln_eps: float = 1e-6
 
     @nn.compact
     def __call__(self, image: Array, *, train: bool = False,
@@ -159,11 +166,16 @@ class _Model(nn.Module):
             out["mask"] = mask
             x = jnp.concatenate([cls_tok, kept], axis=1)
 
+        if self.ln_pre:
+            x = nn.LayerNorm(epsilon=self.ln_eps, dtype=dtype,
+                             param_dtype=jnp.float32, name="ln_pre")(x)
+
         x = layers.Encoder(
             depth=self.depth, num_heads=self.num_heads, mlp_dim=self.mlp_dim,
             dropout=self.dropout, drop_path=self.drop_path,
             remat_policy=self.remat_policy, dtype=dtype,
             attn_impl=self.attn_impl, quant=self.quant,
+            gelu_approx=self.gelu_approx, ln_eps=self.ln_eps,
             name="Transformer")(x, not train)
         out["encoded"] = x
 
@@ -172,11 +184,17 @@ class _Model(nn.Module):
                         dtype=dtype, name="MAPHead_0")(x)
         elif self.pool_type == "gap":
             x = jnp.mean(x[:, 1:], axis=1)
-            x = nn.LayerNorm(dtype=dtype, param_dtype=jnp.float32,
-                             name="encoder_norm")(x)
+            x = nn.LayerNorm(epsilon=self.ln_eps, dtype=dtype,
+                             param_dtype=jnp.float32, name="encoder_norm")(x)
+        elif self.pool_type == "gap_all":
+            # open_clip global_average_pool: mean over ALL tokens incl. cls,
+            # then ln_post (clipa_torch/open_clip/transformer.py:472-478).
+            x = jnp.mean(x, axis=1)
+            x = nn.LayerNorm(epsilon=self.ln_eps, dtype=dtype,
+                             param_dtype=jnp.float32, name="encoder_norm")(x)
         elif self.pool_type == "tok":
-            x = nn.LayerNorm(dtype=dtype, param_dtype=jnp.float32,
-                             name="encoder_norm")(x)
+            x = nn.LayerNorm(epsilon=self.ln_eps, dtype=dtype,
+                             param_dtype=jnp.float32, name="encoder_norm")(x)
             x = x[:, 0]
         elif self.pool_type == "0":
             x = x[:, 0]

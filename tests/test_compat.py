@@ -82,6 +82,136 @@ def test_converted_weights_forward_equal(tiny_params):
     np.testing.assert_allclose(a[1], b[1], atol=1e-6)
 
 
+def test_non_bigvision_cfg_translation():
+    """open_clip-default JSONs must map to the faithful variant knobs
+    (reference defaults: clipa_torch/open_clip/model.py:25-75)."""
+    cfg = openclip.get_model_config("ViT-B-16-CL16")
+    tt = openclip._to_two_towers_cfg(cfg)
+    assert tt["image"]["ln_pre"] is True
+    assert tt["image"]["gelu_approx"] is False
+    assert tt["image"]["pool_type"] == "tok"
+    assert tt["text"]["causal_mask"] is True
+    assert tt["text"]["pool_type"] == "eot"
+    gap = openclip._to_two_towers_cfg(
+        openclip.get_model_config("ViT-L-16-CL32-GAP"))
+    assert gap["image"]["pool_type"] == "gap_all"
+    bv = openclip._to_two_towers_cfg(
+        openclip.get_model_config("ViT-H-14-CL32-GAP-BigVision"))
+    assert bv["image"]["ln_pre"] is False
+    assert bv["image"]["gelu_approx"] is True
+    assert bv["text"]["causal_mask"] is False
+
+
+def test_converter_errors_on_unconsumed_keys(tiny_params):
+    _, params = tiny_params
+    sd = openclip.export_torch_state_dict(params)
+    sd["visual.mystery.weight"] = np.zeros((3, 3), np.float32)
+    with pytest.raises(ValueError, match="unconsumed"):
+        openclip.convert_torch_state_dict(sd)
+    # non-strict mode tolerates it
+    openclip.convert_torch_state_dict(sd, strict=False)
+
+
+def _torch_block(torch, x, sd, b, heads, attn_bias=None):
+    """Reference transformer block math (pre-LN, erf gelu), written from the
+    open_clip spec (clipa_torch/open_clip/transformer.py ResidualAttentionBlock)."""
+    import torch.nn.functional as F
+    w = x.shape[-1]
+    hd = w // heads
+    y = F.layer_norm(x, (w,), sd[f"{b}.ln_1.weight"], sd[f"{b}.ln_1.bias"])
+    qkv = y @ sd[f"{b}.attn.in_proj_weight"].T + sd[f"{b}.attn.in_proj_bias"]
+    q, k, v = qkv.split(w, dim=-1)
+    bsz, length, _ = q.shape
+    q = q.view(bsz, length, heads, hd).transpose(1, 2)
+    k = k.view(bsz, length, heads, hd).transpose(1, 2)
+    v = v.view(bsz, length, heads, hd).transpose(1, 2)
+    logits = q @ k.transpose(-1, -2) / hd ** 0.5
+    if attn_bias is not None:
+        logits = logits + attn_bias
+    a = (logits.softmax(-1) @ v).transpose(1, 2).reshape(bsz, length, w)
+    y = a @ sd[f"{b}.attn.out_proj.weight"].T + sd[f"{b}.attn.out_proj.bias"]
+    x = x + y
+    y = F.layer_norm(x, (w,), sd[f"{b}.ln_2.weight"], sd[f"{b}.ln_2.bias"])
+    y = y @ sd[f"{b}.mlp.c_fc.weight"].T + sd[f"{b}.mlp.c_fc.bias"]
+    y = torch.nn.functional.gelu(y)  # exact (erf) gelu
+    y = y @ sd[f"{b}.mlp.c_proj.weight"].T + sd[f"{b}.mlp.c_proj.bias"]
+    return x + y
+
+
+def test_openclip_semantics_match_torch_reference():
+    """CLIPA-v1-style (open_clip default) models — ln_pre, causal text mask,
+    eot pooling, erf gelu — must produce the same embeddings as a torch
+    forward implementing the open_clip spec, from the same exported weights.
+    This is the numeric leg of the 0.2% checkpoint-parity claim."""
+    torch = pytest.importorskip("torch")
+    import torch.nn.functional as F
+
+    cfg = {
+        "embed_dim": 32,
+        "vision_cfg": {"image_size": 16, "layers": 2, "width": 64,
+                       "head_width": 32, "patch_size": 8},
+        "text_cfg": {"context_length": 8, "vocab_size": 64, "width": 64,
+                     "heads": 2, "layers": 2},
+    }
+    tt = openclip._to_two_towers_cfg(cfg)
+    assert tt["image"]["ln_pre"] and tt["text"]["causal_mask"]
+    from clipa_tpu.models import two_towers
+    rng = np.random.RandomState(0)
+    img = rng.rand(2, 16, 16, 3).astype(np.float32)
+    txt = np.stack([[2, 9, 7, 30, 3, 0, 0, 0],    # eot (max id=30) at pos 3
+                    [2, 14, 5, 8, 21, 50, 0, 0]])  # eot (50) at pos 5
+
+    # float64 on both sides: any residual difference is semantic, not
+    # accumulation-order noise.
+    jax.config.update("jax_enable_x64", True)
+    try:
+        model = two_towers.Model(dtype=jnp.float64, **tt)
+        params = model.init({"params": jax.random.PRNGKey(1)},
+                            jnp.asarray(img), jnp.asarray(txt))["params"]
+        zimg, ztxt, _ = model.apply({"params": params}, jnp.asarray(img),
+                                    jnp.asarray(txt))
+        zimg, ztxt = np.asarray(zimg), np.asarray(ztxt)
+        exported = openclip.export_torch_state_dict(params)
+    finally:
+        jax.config.update("jax_enable_x64", False)
+
+    sd = {k: torch.tensor(np.asarray(v, np.float64))
+          for k, v in exported.items()}
+
+    # ---- torch vision forward (open_clip spec) ----
+    x = torch.tensor(img, dtype=torch.float64).permute(0, 3, 1, 2)
+    x = F.conv2d(x, sd["visual.conv1.weight"], stride=8)
+    x = x.reshape(2, 64, -1).permute(0, 2, 1)  # (B, L, w)
+    cls = sd["visual.class_embedding"].expand(2, 1, -1)
+    x = torch.cat([cls, x], dim=1) + sd["visual.positional_embedding"]
+    x = F.layer_norm(x, (64,), sd["visual.ln_pre.weight"],
+                     sd["visual.ln_pre.bias"])
+    for i in range(2):
+        x = _torch_block(torch, x, sd, f"visual.transformer.resblocks.{i}",
+                         heads=2)
+    pooled = F.layer_norm(x[:, 0], (64,), sd["visual.ln_post.weight"],
+                          sd["visual.ln_post.bias"])
+    zimg_t = pooled @ sd["visual.proj"]
+    zimg_t = zimg_t / zimg_t.norm(dim=-1, keepdim=True)
+
+    # ---- torch text forward (causal mask + eot argmax pooling) ----
+    t = torch.tensor(txt, dtype=torch.long)
+    x = sd["token_embedding.weight"][t] + sd["positional_embedding"]
+    causal = torch.full((8, 8), float("-inf"), dtype=torch.float64).triu(1)
+    for i in range(2):
+        x = _torch_block(torch, x, sd, f"transformer.resblocks.{i}",
+                         heads=2, attn_bias=causal)
+    x = F.layer_norm(x, (64,), sd["ln_final.weight"], sd["ln_final.bias"])
+    pooled = x[torch.arange(2), t.argmax(dim=-1)]
+    ztxt_t = pooled @ sd["text_projection"]
+    ztxt_t = ztxt_t / ztxt_t.norm(dim=-1, keepdim=True)
+
+    # towers cast outputs to float32, so f32 rounding (~1e-8) remains; the
+    # LN-eps class of semantic bug this test exists to catch shows at ~4e-5.
+    np.testing.assert_allclose(zimg, zimg_t.numpy(), atol=1e-6)
+    np.testing.assert_allclose(ztxt, ztxt_t.numpy(), atol=1e-6)
+
+
 def test_get_tokenizer_bert(tmp_path):
     vocab = ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "a", "photo", "of", "cat",
              "dog"]

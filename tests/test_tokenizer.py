@@ -63,11 +63,13 @@ def test_matches_hf_bert_tokenizer(vocab_file):
         assert ours.encode(s) == expected, f"mismatch on {s!r}"
 
 
-@pytest.mark.parametrize("real_vocab", ["/root/reference/data/vocab.txt"])
-def test_matches_hf_on_real_vocab(real_vocab):
+def test_matches_hf_on_real_vocab():
+    """Golden test on the shipped 30522-entry BERT uncased vocab (the one
+    every CLIPA-v2 text tower tokenizes with, reference data/vocab.txt)."""
     import os
-    if not os.path.exists(real_vocab):
-        pytest.skip("no real vocab available")
+    real_vocab = os.path.join(os.path.dirname(__file__), "..",
+                              "data", "vocab.txt")
+    assert os.path.exists(real_vocab), "data/vocab.txt must ship in-repo"
     transformers = pytest.importorskip("transformers")
     hf = transformers.BertTokenizer(real_vocab, do_lower_case=True)
     ours = WordPieceTokenizer(real_vocab)
