@@ -40,7 +40,9 @@ class Evaluator:
                     jnp.sum(extras["ncorrect"] * mask),
                     jnp.sum(mask))
 
-        self._eval_jit = jax.jit(eval_batch)
+        # replicated scalar outputs: device_get is multi-host safe
+        self._eval_jit = jax.jit(
+            eval_batch, out_shardings=mesh_lib.replicated_sharding(mesh))
 
     def run(self, params):
         def pp(sample):

@@ -31,7 +31,21 @@ def _eig_cache(x: np.ndarray, y: np.ndarray):
     x = np.pad(x, ((0, 0), (0, 1)), constant_values=BIAS_CONSTANT)
     eigs, q = np.linalg.eigh(x.T @ x)
     rhs = q.T @ (x.T @ y)
-    return {"eigs": eigs, "q": q, "rhs": rhs, "mean": mean, "std": std}
+    return {"eigs": eigs, "q": q, "rhs": rhs, "mean": mean, "std": std,
+            "x": x, "y": y}
+
+
+def _gcv_score(cache: dict, w: np.ndarray, l2_reg: float) -> float:
+    """Generalized cross-validation score for ridge on the TRAIN split —
+    selects l2_reg without touching the test set (the reference's broken
+    evaluator picked it on test: selection leak, round-1 Weak #9).
+    GCV(λ) = n * RSS / (n - tr(S_λ))², tr(S_λ) = Σ eig/(eig+λ)."""
+    n = cache["x"].shape[0]
+    resid = cache["y"] - cache["x"] @ w
+    rss = float(np.sum(resid ** 2))
+    df = float(np.sum(cache["eigs"] / (cache["eigs"] + l2_reg)))
+    denom = max(n - df, 1e-6)
+    return n * rss / denom ** 2
 
 
 def _solve(cache: dict, l2_reg: float) -> np.ndarray:
@@ -63,11 +77,15 @@ class Evaluator:
         self.seed = seed
         self.pp_fn = registry.get_preprocess_fn(pp)
 
-        def embed(params, image):
+        # labels/mask travel through the jit program and come back
+        # replicated: device_get never touches non-addressable shards
+        # (multi-host safe), and every host sees the full split.
+        def embed(params, image, label, mask):
             zimg, _, _ = predict_fn(params, image, None)
-            return zimg
+            return zimg, label, mask
 
-        self._embed = jax.jit(embed)
+        self._embed = jax.jit(
+            embed, out_shardings=mesh_lib.replicated_sharding(mesh))
 
     def _embed_split(self, params, source):
         def pp(sample):
@@ -80,10 +98,11 @@ class Evaluator:
         zs, ys, masks = [], [], []
         for batch in batches:
             g = mesh_lib.local_batch_to_global(batch, self.mesh)
-            zs.append(np.asarray(jax.device_get(
-                self._embed(params, g["image"]))))
-            ys.append(np.asarray(jax.device_get(g["label"])))
-            masks.append(np.asarray(jax.device_get(g["_mask"])))
+            z, y, m = jax.device_get(self._embed(
+                params, g["image"], g["label"], g["_mask"]))
+            zs.append(np.asarray(z))
+            ys.append(np.asarray(y))
+            masks.append(np.asarray(m))
         keep = np.concatenate(masks).astype(bool)
         return np.concatenate(zs)[keep], np.concatenate(ys)[keep]
 
@@ -105,9 +124,13 @@ class Evaluator:
                 for j, c in enumerate(classes):
                     y_onehot[y_tr[idx] == c, j] = 1.0
                 cache = _eig_cache(x_tr[idx], y_onehot)
-                best = 0.0
+                best_l2, best_gcv, best_w = None, np.inf, None
                 for l2 in self.l2_regs:
-                    pred = _predict(cache, _solve(cache, l2), x_te)
-                    best = max(best, float((classes[pred] == y_te).mean()))
-                results.append((f"{name}/{shots}shot", best))
+                    w = _solve(cache, l2)
+                    gcv = _gcv_score(cache, w, l2)
+                    if gcv < best_gcv:
+                        best_l2, best_gcv, best_w = l2, gcv, w
+                pred = _predict(cache, best_w, x_te)
+                acc = float((classes[pred] == y_te).mean())
+                results.append((f"{name}/{shots}shot", acc))
         return results

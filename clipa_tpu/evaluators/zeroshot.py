@@ -12,10 +12,15 @@ Behavioral parity with the reference evaluator
   * metric key `{dataset}_accuracy`.
 
 SPMD design difference: instead of the reference's per-host class-name
-sharding + pmap + psum, both embedding passes are single jit programs over
-the global mesh — batches are globally sharded, the final correct/count
-reduction is a plain sum on replicated scalars (XLA inserts the cross-host
-collectives).
+sharding + pmap + psum (discriminative_classifier.py:121-149,303-333), the
+prompt set is split contiguously across processes (each host tokenizes only
+its share), batches are globally sharded, and every jit program returns
+**replicated** outputs — prompt embeddings travel with their (owner, mask)
+ids through the program, so accumulation on the host is order-independent
+and `jax.device_get` only ever touches fully-replicated arrays (safe on
+real multi-host, where non-addressable shards cannot be fetched). The
+correct/count reduction happens inside the jit program and comes back as
+replicated scalars.
 
 Normalization contract: the default `pp_img` yields **uint8** images — the
 predict_fn (train/step.py:make_predict_fn) normalizes them on device with
@@ -90,10 +95,13 @@ class Evaluator:
             }
 
         # jitted programs (shared across datasets; shapes are static per
-        # batch size so each compiles once).
-        def embed_texts(params, labels):
+        # batch size so each compiles once). All outputs are replicated so
+        # device_get works on every host (multi-host safe).
+        replicated = mesh_lib.replicated_sharding(mesh)
+
+        def embed_texts(params, labels, owner, mask):
             _, ztxt, _ = predict_fn(params, None, labels)
-            return ztxt
+            return ztxt, owner, mask
 
         def count_correct(params, image, ztxt, labels, mask):
             zimg, _, _ = predict_fn(params, image, None)
@@ -101,10 +109,12 @@ class Evaluator:
                              precision=jax.lax.Precision.HIGHEST)
             pred = jnp.argmax(logits, axis=-1)
             hit = jnp.any(pred[:, None] == labels, axis=-1)
-            return jnp.sum(hit * mask)
+            return jnp.sum(hit * mask), jnp.sum(mask)
 
-        self._embed_texts_jit = jax.jit(embed_texts)
-        self._count_correct_jit = jax.jit(count_correct)
+        self._embed_texts_jit = jax.jit(embed_texts,
+                                        out_shardings=replicated)
+        self._count_correct_jit = jax.jit(count_correct,
+                                          out_shardings=replicated)
 
     # ------------------------------------------------------------------ text
     def _class_embeddings(self, params, dataset_name: str) -> jax.Array:
@@ -120,27 +130,44 @@ class Evaluator:
                 for tpl in templates:
                     texts.append(tpl.format(alias))
                     owner.append(ci)
-        owner = np.asarray(owner)
-        tokens = np.stack([
-            self.pp_txt_fn({"texts": t})["labels"] for t in texts])
 
-        # pad to a full global batch multiple
-        bs = self.batch_size
-        total = tokens.shape[0]
-        padded = -(-total // bs) * bs
-        tokens = np.pad(tokens, ((0, padded - total), (0, 0)))
+        # Shard the prompt set contiguously across processes: each host
+        # tokenizes only its share (the reference shards class names per
+        # host, discriminative_classifier.py:121-149). Every host pads its
+        # slice to the same length so all hosts step the same program.
+        nproc, pidx = jax.process_count(), jax.process_index()
+        if self.batch_size % nproc:
+            raise ValueError(f"eval batch_size {self.batch_size} must "
+                             f"divide process count {nproc}")
+        local_bs = self.batch_size // nproc
+        total = len(texts)
+        base = -(-total // nproc)                       # ceil per host
+        per_host = -(-base // local_bs) * local_bs      # same on all hosts
+        lo, hi = pidx * base, min((pidx + 1) * base, total)
+        tokens = np.zeros((per_host,) + tuple(
+            self.pp_txt_fn({"texts": texts[0]})["labels"].shape), np.int32)
+        owner_loc = np.zeros((per_host,), np.int32)
+        mask_loc = np.zeros((per_host,), np.int32)
+        for j, gi in enumerate(range(lo, hi)):
+            tokens[j] = self.pp_txt_fn({"texts": texts[gi]})["labels"]
+            owner_loc[j] = owner[gi]
+            mask_loc[j] = 1
 
-        embs = []
-        for i in range(0, padded, bs):
+        z = np.zeros((n_class, 0), np.float32)  # resized on first batch
+        counts = np.zeros((n_class,), np.int64)
+        for i in range(0, per_host, local_bs):
             batch = mesh_lib.local_batch_to_global(
-                {"labels": tokens[i:i + bs]}, self.mesh)
-            embs.append(np.asarray(
-                jax.device_get(self._embed_texts_jit(params,
-                                                     batch["labels"]))))
-        flat = np.concatenate(embs)[:total]
-        z = np.zeros((n_class, flat.shape[-1]), np.float32)
-        np.add.at(z, owner, flat)
-        z /= np.bincount(owner, minlength=n_class)[:, None]
+                {"labels": tokens[i:i + local_bs],
+                 "owner": owner_loc[i:i + local_bs],
+                 "mask": mask_loc[i:i + local_bs]}, self.mesh)
+            ztxt, ow, m = jax.device_get(self._embed_texts_jit(
+                params, batch["labels"], batch["owner"], batch["mask"]))
+            if z.shape[1] == 0:
+                z = np.zeros((n_class, ztxt.shape[-1]), np.float32)
+            keep = np.asarray(m).astype(bool)
+            np.add.at(z, np.asarray(ow)[keep], np.asarray(ztxt)[keep])
+            counts += np.bincount(np.asarray(ow)[keep], minlength=n_class)
+        z /= np.maximum(counts, 1)[:, None]
         z /= np.linalg.norm(z, axis=-1, keepdims=True) + 1e-8
         return z.astype(np.float32)
 
@@ -167,10 +194,11 @@ class Evaluator:
         correct, count = 0, 0
         for batch in batches:
             gbatch = mesh_lib.local_batch_to_global(batch, self.mesh)
-            c = self._count_correct_jit(params, gbatch["image"], ztxt,
-                                        gbatch["label"], gbatch["_mask"])
-            correct += int(jax.device_get(c))
-            count += int(np.sum(jax.device_get(gbatch["_mask"])))
+            c, n = jax.device_get(self._count_correct_jit(
+                params, gbatch["image"], ztxt, gbatch["label"],
+                gbatch["_mask"]))
+            correct += int(c)
+            count += int(n)
         return {"accuracy": correct / max(count, 1), "correct": correct,
                 "count": count}
 

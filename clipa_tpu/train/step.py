@@ -89,30 +89,84 @@ def make_update_fn(model, tx, config, mesh) -> Callable:
             (l, measurements), grads = grad_fn(params, images, labels,
                                                rng_step)
         else:
-            # Gradient accumulation (the reference torch trainer's
-            # accum_freq, clipa_torch/training/train.py:217-256): the batch
-            # splits into microbatches scanned sequentially. NOTE: the
-            # contrastive loss is computed per microbatch, so negatives come
-            # from the microbatch, exactly like the reference's accumulation
-            # semantics with cached features.
-            def micro(carry, xs):
-                g_acc, l_acc = carry
-                mb_images, mb_labels, i = xs
-                (l, meas), g = grad_fn(params, mb_images, mb_labels,
-                                       jax.random.fold_in(rng_step, i))
-                g_acc = jax.tree_util.tree_map(jnp.add, g_acc, g)
-                return (g_acc, l_acc + l), meas
-
+            # Two-pass full-batch-negative gradient accumulation, matching
+            # the reference torch trainer's cached-feature scheme
+            # (clipa_torch/training/train.py:217-256):
+            #   pass 1: embed every microbatch without gradient tracking,
+            #   pass 2: for each microbatch j, re-embed it live, splice it
+            #     into the cached full-batch features, compute the loss
+            #     against FULL-batch negatives, and accumulate gradients.
+            # Gradients SUM over passes (no division): each feature's
+            # contribution to the full-batch loss is counted exactly once,
+            # so the result equals the single-pass full-batch gradient.
+            # (As in the reference, the temperature `t` receives the full
+            # dL/dt in every pass, i.e. accum_steps x the single-pass grad.)
+            if images.shape[0] % accum_steps:
+                raise ValueError(
+                    f"grad_accum_steps={accum_steps} must divide the global "
+                    f"batch size {images.shape[0]}")
             b = images.shape[0] // accum_steps
             mb_img = images.reshape(accum_steps, b, *images.shape[1:])
             mb_lab = labels.reshape(accum_steps, b, *labels.shape[1:])
+            mb_rng = jnp.arange(accum_steps)
+
+            def embed(params, imgs, labs, i):
+                # same fold_in as pass 2 so dropout/masking recompute
+                # identically and the spliced row block is exact.
+                zimg, ztxt, _ = model.apply(
+                    {"params": params}, imgs, labs, train=True,
+                    mask_ratio=mask_ratio,
+                    rngs={"dropout": jax.random.fold_in(rng_step, i),
+                          "drop_path": jax.random.fold_in(rng_step, i),
+                          "random_mask": jax.random.fold_in(rng_step, i)})
+                return zimg, ztxt
+
+            zi_all, zt_all = jax.lax.map(
+                lambda xs: embed(params, *xs), (mb_img, mb_lab, mb_rng))
+            zi_all = jax.lax.stop_gradient(zi_all)
+            zt_all = jax.lax.stop_gradient(zt_all)
+
+            def loss_j(params, imgs, labs, j):
+                zimg_j, ztxt_j, extras = model.apply(
+                    {"params": params}, imgs, labs, train=True,
+                    mask_ratio=mask_ratio,
+                    rngs={"dropout": jax.random.fold_in(rng_step, j),
+                          "drop_path": jax.random.fold_in(rng_step, j),
+                          "random_mask": jax.random.fold_in(rng_step, j)})
+                zimg = zi_all.at[j].set(zimg_j).reshape(-1, zimg_j.shape[-1])
+                ztxt = zt_all.at[j].set(ztxt_j).reshape(-1, ztxt_j.shape[-1])
+                if loss_kind == "sigmoid":
+                    l, l_extras = losses_lib.sigmoid_contrastive_loss(
+                        zimg, ztxt, extras["t"], reduction=True)
+                elif loss_kind == "chunked":
+                    from clipa_tpu.ops import infonce
+                    l, l_extras = infonce.chunked_contrastive_loss(
+                        zimg, ztxt, extras["t"],
+                        chunk_size=int(config.get("loss_chunk_size", 4096)))
+                else:
+                    l, l_extras = losses_lib.bidirectional_contrastive_loss(
+                        zimg, ztxt, extras["t"], reduction=True)
+                return l, {
+                    "t": extras["t"][0],
+                    "t/parameter": extras["t/parameter"][0],
+                    "nimg": jnp.mean(extras["img/norm"]),
+                    "ntxt": jnp.mean(extras["txt/norm"]),
+                    **{k: jnp.mean(v) for k, v in l_extras.items()},
+                }
+
+            grad_j = jax.value_and_grad(loss_j, has_aux=True)
+
+            def micro(carry, xs):
+                g_acc = carry
+                imgs, labs, j = xs
+                (l, meas), g = grad_j(params, imgs, labs, j)
+                return jax.tree_util.tree_map(jnp.add, g_acc, g), (l, meas)
+
             zeros = jax.tree_util.tree_map(
                 lambda x: jnp.zeros(x.shape, jnp.float32), params)
-            (grads, l), meas_all = jax.lax.scan(
-                micro, (zeros, jnp.zeros(())),
-                (mb_img, mb_lab, jnp.arange(accum_steps)))
-            grads = jax.tree_util.tree_map(lambda g: g / accum_steps, grads)
-            l = l / accum_steps
+            grads, (l_all, meas_all) = jax.lax.scan(
+                micro, zeros, (mb_img, mb_lab, mb_rng))
+            l = l_all[-1]  # every pass computes the same full-batch loss
             measurements = jax.tree_util.tree_map(lambda x: x[-1], meas_all)
 
         updates, opt = tx.update(grads, opt, params)

@@ -137,27 +137,49 @@ def test_device_count_invariance():
     np.testing.assert_allclose(results[0], results[1], rtol=1e-4)
 
 
-def test_grad_accumulation_matches_big_batch(mesh8):
-    """accum=2 over microbatch negatives == two separate small steps'
-    gradient average; sanity: runs, finite, and differs from accum=1 only
-    via the negatives set (per reference semantics)."""
-    model = _tiny_model()
-    base = _tiny_config()
-    batch = local_batch_to_global(_batch(16), mesh8)
+def test_grad_accumulation_equals_full_batch(mesh8):
+    """Two-pass cached-feature accumulation must reproduce the single-pass
+    FULL-batch loss and gradients exactly (the reference's accum_freq
+    semantics, clipa_torch/training/train.py:217-256): accum=2 with an SGD
+    step equals accum=1 on every parameter except the temperature `t`,
+    whose gradient sums once per pass (accum x, matching the reference)."""
+    import optax
 
-    cfgs = [_tiny_config(), _tiny_config(grad_accum_steps=2)]
-    losses = []
-    for config in cfgs:
-        tx, _ = optim.make(config, _abstract_params(model, config),
-                           sched_kw=dict(total_steps=10))
+    model = _tiny_model()
+    batch = local_batch_to_global(_batch(16), mesh8)
+    tx = optax.sgd(0.1)
+
+    updated, losses = [], []
+    for accum in (1, 2):
+        config = _tiny_config(grad_accum_steps=accum)
         state = step_lib.init_train_state(model, tx, config, mesh8,
                                           jax.random.PRNGKey(0))
         update = step_lib.make_update_fn(model, tx, config, mesh8)
         state, meas = update(state, batch)
+        updated.append(jax.device_get(state["params"]))
         losses.append(float(meas["training_loss"]))
-    assert all(np.isfinite(losses))
-    # microbatch negatives (8) vs full batch (16): loss upper bound ln(B)
-    assert losses[1] <= losses[0] + 0.1
+
+    # identical full-batch loss
+    np.testing.assert_allclose(losses[0], losses[1], rtol=1e-5)
+    flat1 = dict(_flatten(updated[0]))
+    flat2 = dict(_flatten(updated[1]))
+    for k in flat1:
+        if k == "t":
+            continue
+        np.testing.assert_allclose(flat1[k], flat2[k], atol=1e-5,
+                                   err_msg=k)
+    # t's gradient accumulates once per pass: update is exactly accum x.
+    init = step_lib.init_train_state(model, tx, _tiny_config(), mesh8,
+                                     jax.random.PRNGKey(0))
+    t0 = float(jax.device_get(init["params"]["t"])[0])
+    dt1 = float(flat1["t"][0]) - t0
+    dt2 = float(flat2["t"][0]) - t0
+    np.testing.assert_allclose(dt2, 2 * dt1, rtol=1e-4)
+
+
+def _flatten(tree):
+    from clipa_tpu import utils as u
+    return u.tree_flatten_with_names(tree)[0]
 
 
 def test_chunked_loss_equals_softmax_in_step(mesh8):
