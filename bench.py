@@ -23,7 +23,7 @@ import numpy as np
 
 def build_step(dtype_str: str, batch: int, res: int = 112, tokens: int = 8,
                variant: str = "L/16", mu_dtype: str = None,
-               remat: str = "none"):
+               remat: str = "none", quant: str = None):
     import jax
     import jax.numpy as jnp
     from clipa_tpu import optim
@@ -38,9 +38,9 @@ def build_step(dtype_str: str, batch: int, res: int = 112, tokens: int = 8,
                "G": 1280}.get(tv, 768)
     model = two_towers.Model(
         image={"variant": variant, "pool_type": "tok", "posemb": "sincos2d",
-               "remat_policy": remat},
+               "remat_policy": remat, "quant": quant},
         text={"variant": tv, "pool_type": "last", "vocab_size": 32000,
-              "remat_policy": remat},
+              "remat_policy": remat, "quant": quant},
         out_dim=(out_dim, out_dim), temperature_init=1 / 0.07, dtype=dtype)
 
     config = ConfigDict(

@@ -23,7 +23,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from clipa_tpu.ops.attention import dot_product_attention
+from clipa_tpu.ops.attention import multi_head_attention
 from clipa_tpu.ops.quantization import quant_dot
 
 Array = Any
@@ -72,6 +72,10 @@ class MultiHeadAttention(nn.Module):
         dtype = self.dtype or inputs_q.dtype
 
         # Explicit sub-scopes so flat param names match the reference layout.
+        # Projections keep the packed (B, L, D) layout end to end: a 4D
+        # (B, L, H, head_dim) tensor lane-pads head_dim 64 -> 128 in TPU HBM
+        # (2x the bytes for every q/k/v/out buffer); heads are split
+        # on-chip by the attention core instead.
         q = _ProjIn(self.num_heads, head_dim, self.qkv_kernel_init,
                     self.use_bias, dtype, self.quant, name="query")(inputs_q)
         k = _ProjIn(self.num_heads, head_dim, self.qkv_kernel_init,
@@ -79,14 +83,21 @@ class MultiHeadAttention(nn.Module):
         v = _ProjIn(self.num_heads, head_dim, self.qkv_kernel_init,
                     self.use_bias, dtype, self.quant, name="value")(inputs_kv)
 
-        y = dot_product_attention(q, k, v, mask=mask, impl=self.attn_impl)
+        y = multi_head_attention(q, k, v, self.num_heads, mask=mask,
+                                 impl=self.attn_impl)
 
-        return _ProjOut(d_model, self.out_kernel_init, self.use_bias,
+        return _ProjOut(d_model, self.num_heads, head_dim,
+                        self.out_kernel_init, self.use_bias,
                         dtype, self.quant, name="out")(y)
 
 
 class _ProjIn(nn.Module):
-    """Input projection to (batch, len, heads, head_dim)."""
+    """Input projection to packed (batch, len, heads * head_dim).
+
+    The parameter keeps the reference (d, H, hd) shape for checkpoint
+    parity; it is reshaped (free) to (d, D) at use so the activation stays
+    in the unpadded packed layout.
+    """
     num_heads: int
     head_dim: int
     kernel_init: Callable
@@ -97,26 +108,27 @@ class _ProjIn(nn.Module):
     @nn.compact
     def __call__(self, x: Array) -> Array:
         d_in = x.shape[-1]
+        d_out = self.num_heads * self.head_dim
         kernel = self.param("kernel", self.kernel_init,
                             (d_in, self.num_heads, self.head_dim), jnp.float32)
+        kernel2d = kernel.reshape(d_in, d_out)
         if self.quant:
-            y = quant_dot(x.astype(self.dtype), kernel, quant=self.quant,
+            y = quant_dot(x.astype(self.dtype), kernel2d, quant=self.quant,
                           n_contract=1)
         else:
-            # direct einsum: XLA keeps the (B, L, H, hd) layout the
-            # attention op wants (a 2D-reshape dot forces padded copies)
-            y = jnp.einsum("...d,dhk->...hk", x.astype(self.dtype),
-                           kernel.astype(self.dtype))
+            y = jnp.dot(x.astype(self.dtype), kernel2d.astype(self.dtype))
         if self.use_bias:
             bias = self.param("bias", nn.initializers.zeros,
                               (self.num_heads, self.head_dim), jnp.float32)
-            y = y + bias.astype(self.dtype)
+            y = y + bias.reshape(d_out).astype(self.dtype)
         return y
 
 
 class _ProjOut(nn.Module):
-    """Output projection from (batch, len, heads, head_dim) to (..., d_model)."""
+    """Output projection from packed (batch, len, D) to (..., d_model)."""
     d_model: int
+    num_heads: int
+    head_dim: int
     kernel_init: Callable
     use_bias: bool
     dtype: Dtype
@@ -124,15 +136,16 @@ class _ProjOut(nn.Module):
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
-        num_heads, head_dim = x.shape[-2], x.shape[-1]
         kernel = self.param("kernel", self.kernel_init,
-                            (num_heads, head_dim, self.d_model), jnp.float32)
+                            (self.num_heads, self.head_dim, self.d_model),
+                            jnp.float32)
+        kernel2d = kernel.reshape(self.num_heads * self.head_dim,
+                                  self.d_model)
         if self.quant:
-            y = quant_dot(x.astype(self.dtype), kernel, quant=self.quant,
-                          n_contract=2)
+            y = quant_dot(x.astype(self.dtype), kernel2d, quant=self.quant,
+                          n_contract=1)
         else:
-            y = jnp.einsum("...hk,hkd->...d", x.astype(self.dtype),
-                           kernel.astype(self.dtype))
+            y = jnp.dot(x.astype(self.dtype), kernel2d.astype(self.dtype))
         if self.use_bias:
             bias = self.param("bias", nn.initializers.zeros,
                               (self.d_model,), jnp.float32)

@@ -1,13 +1,24 @@
 """Attention cores.
 
-One entry point, :func:`dot_product_attention`, dispatching between:
-  * ``xla``    — einsum + softmax; XLA fuses this well for the short
-                 sequences CLIPA trains at (8-text / 37-image tokens).
-  * ``pallas`` — a flash-attention Pallas kernel (online softmax, tiled over
-                 VMEM) for the full-resolution fine-tune stages
-                 (224px -> 257 tokens, 336px -> 577 tokens).
-  * ``auto``   — pallas on TPU when shapes are tile-aligned and long enough
-                 to pay off, else xla.
+Two entry points:
+
+  * :func:`multi_head_attention` — packed ``(B, L, D)`` operands (the
+    layout the projections produce; no lane-padded 4D tensors in HBM).
+    This is what the towers call.
+  * :func:`dot_product_attention` — split ``(B, L, H, hd)`` operands, kept
+    for compatibility and for the long-sequence flash kernel.
+
+Dispatch (``impl="auto"``):
+  * ``fused``  — whole-sequence Pallas kernel (ops/block_attention.py):
+                 scores/softmax live in VMEM, backward recomputes them.
+                 Covers every CLIPA resolution (50/257/577 tokens). On the
+                 bench chip the XLA path's fp32 (B,H,L,L) score tensors
+                 tile-pad 2.9x in HBM and dominate attention time; this
+                 kernel removes that traffic entirely.
+  * ``pallas`` — tiled online-softmax flash attention for sequences past
+                 the whole-sequence VMEM budget (> ~640 tokens).
+  * ``xla``    — einsum + fp32 softmax; masked attention (causal text
+                 towers) and non-TPU backends.
 
 Replaces the reference's stock flax MultiHeadDotProductAttention core
 (clipa_jax/models/vit.py:126, text_transformer.py:180).
@@ -22,14 +33,9 @@ import jax.numpy as jnp
 
 Array = jax.Array
 
-# Sequence length at which "auto" starts dispatching to the Pallas flash
-# kernel. Measured on v5e at CLIPA shapes (L<=640, D 64/80, 16 heads): XLA's
-# fused attention is FASTER at every CLIPA resolution — per-(batch*head)
-# kernel programs are too small to amortize invocation overhead — while the
-# flash kernel wins on *memory* (no B*H*L^2 score tensor). Default therefore
-# keeps XLA; lower this (or pass impl="pallas") for long-sequence /
-# memory-bound regimes, e.g. giant-batch 336px unmask-tuning.
-_PALLAS_MIN_SEQ = 1024
+# Sequences whose K/V slab exceeds the fused kernel's VMEM budget move to
+# the tiled online-softmax flash kernel.
+_FLASH_MIN_SEQ = 1024
 
 
 def _on_tpu() -> bool:
@@ -37,6 +43,45 @@ def _on_tpu() -> bool:
         return jax.devices()[0].platform == "tpu"
     except RuntimeError:
         return False
+
+
+def multi_head_attention(q: Array, k: Array, v: Array, num_heads: int,
+                         mask: Optional[Array] = None,
+                         impl: str = "auto") -> Array:
+    """Multi-head attention over packed (B, L, D) operands.
+
+    Args:
+      q, k, v: (B, L, D) arrays, D = num_heads * head_dim.
+      num_heads: head count.
+      mask: optional boolean (B, 1|H, Lq, Lk); True = attend. Masked
+        attention always uses the XLA path.
+      impl: "auto" | "fused" | "xla" | "pallas".
+
+    Returns:
+      (B, Lq, D) array in q's dtype.
+    """
+    from clipa_tpu.ops import block_attention
+
+    if impl == "auto":
+        if (_on_tpu() and q.shape == k.shape
+                and block_attention.eligible(q.shape, num_heads, mask)):
+            impl = "fused"
+        elif (_on_tpu() and mask is None and q.shape[1] >= _FLASH_MIN_SEQ
+                and q.shape[2] // num_heads <= 128):
+            impl = "pallas"
+        else:
+            impl = "xla"
+
+    if impl == "fused":
+        return block_attention.fused_attention(q, k, v, num_heads)
+
+    b, l, d = q.shape
+    hd = d // num_heads
+    q4 = q.reshape(b, l, num_heads, hd)
+    k4 = k.reshape(k.shape[0], k.shape[1], num_heads, hd)
+    v4 = v.reshape(v.shape[0], v.shape[1], num_heads, hd)
+    out = dot_product_attention(q4, k4, v4, mask=mask, impl=impl)
+    return out.reshape(b, l, d)
 
 
 def dot_product_attention(q: Array, k: Array, v: Array,
@@ -52,7 +97,7 @@ def dot_product_attention(q: Array, k: Array, v: Array,
     Returns:
       (B, Lq, H, D) array in q's dtype.
     """
-    if impl == "auto":
+    if impl in ("auto", "fused"):
         impl = "pallas" if _pallas_eligible(q, k, mask) else "xla"
     if impl == "pallas":
         from clipa_tpu.ops import flash_attention
@@ -64,7 +109,7 @@ def _pallas_eligible(q: Array, k: Array, mask) -> bool:
     if not _on_tpu() or mask is not None:
         return False
     lq, d = q.shape[1], q.shape[-1]
-    return lq >= _PALLAS_MIN_SEQ and d <= 128
+    return lq >= _FLASH_MIN_SEQ and d <= 128
 
 
 def _xla_attention(q: Array, k: Array, v: Array,

@@ -1,0 +1,107 @@
+"""Fused whole-sequence attention kernel vs the XLA einsum path.
+
+Runs the Pallas kernels in interpret mode on the CPU mesh. Comparisons are
+made under jax.default_matmul_precision("highest"): the installed JAX
+default lowers fp32 dots to bf16 passes, which would drown the comparison
+in matmul noise unrelated to the kernel.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from clipa_tpu.ops import attention, block_attention
+
+
+SHAPES = [
+    # (batch, seq, heads, head_dim) — 112px CLIPA, masked-token odd L, 224px
+    (8, 50, 16, 64),
+    (4, 37, 8, 16),
+    (2, 257, 4, 32),
+]
+
+
+@pytest.mark.parametrize("b,l,h,hd", SHAPES)
+def test_fused_forward_matches_xla(b, l, h, hd):
+    d = h * hd
+    rng = np.random.RandomState(0)
+    q = jnp.asarray(rng.randn(b, l, d), jnp.float32)
+    k = jnp.asarray(rng.randn(b, l, d), jnp.float32)
+    v = jnp.asarray(rng.randn(b, l, d), jnp.float32)
+    with jax.default_matmul_precision("highest"):
+        ref = attention.multi_head_attention(q, k, v, h, impl="xla")
+        out = block_attention.fused_attention(q, k, v, h)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
+
+
+@pytest.mark.parametrize("b,l,h,hd", SHAPES)
+def test_fused_grads_match_xla(b, l, h, hd):
+    d = h * hd
+    rng = np.random.RandomState(1)
+    q = jnp.asarray(rng.randn(b, l, d), jnp.float32)
+    k = jnp.asarray(rng.randn(b, l, d), jnp.float32)
+    v = jnp.asarray(rng.randn(b, l, d), jnp.float32)
+
+    def loss(fn):
+        return lambda q, k, v: (fn(q, k, v) ** 2).sum()
+
+    with jax.default_matmul_precision("highest"):
+        gr = jax.grad(loss(lambda q, k, v: attention.multi_head_attention(
+            q, k, v, h, impl="xla")), argnums=(0, 1, 2))(q, k, v)
+        gf = jax.grad(loss(lambda q, k, v: block_attention.fused_attention(
+            q, k, v, h)), argnums=(0, 1, 2))(q, k, v)
+    for name, a, b_ in zip("qkv", gr, gf):
+        scale = float(jnp.max(jnp.abs(a))) + 1e-9
+        np.testing.assert_allclose(np.asarray(b_) / scale,
+                                   np.asarray(a) / scale,
+                                   atol=2e-5, err_msg=f"d{name}")
+
+
+def test_bwd_vmem_fallback_matches():
+    """Shapes whose backward plan exceeds VMEM still differentiate
+    correctly through the XLA-math VJP fallback."""
+    b, l, h, hd = 2, 64, 4, 16
+    d = h * hd
+    rng = np.random.RandomState(2)
+    q = jnp.asarray(rng.randn(b, l, d), jnp.float32)
+    k = jnp.asarray(rng.randn(b, l, d), jnp.float32)
+    v = jnp.asarray(rng.randn(b, l, d), jnp.float32)
+
+    orig = block_attention._VMEM_BUDGET_BWD
+    try:
+        block_attention._VMEM_BUDGET_BWD = 0  # force the fallback
+        with jax.default_matmul_precision("highest"):
+            gf = jax.grad(lambda q: (block_attention.fused_attention(
+                q, k, v, h) ** 2).sum())(q)
+            gr = jax.grad(lambda q: (attention.multi_head_attention(
+                q, k, v, h, impl="xla") ** 2).sum())(q)
+    finally:
+        block_attention._VMEM_BUDGET_BWD = orig
+    np.testing.assert_allclose(np.asarray(gf), np.asarray(gr),
+                               atol=2e-5, rtol=2e-4)
+
+
+def test_eligibility():
+    assert block_attention.eligible((512, 50, 1024), 16, None)
+    assert block_attention.eligible((64, 577, 1280), 16, None)  # H/14 @336
+    assert not block_attention.eligible((8, 50, 1024), 16, "mask")
+    assert not block_attention.eligible((8, 50, 1000), 16, None)  # hd*H != D
+    # sequence whose K/V slab cannot fit VMEM
+    assert not block_attention.eligible((8, 100_000, 1024), 16, None)
+
+
+def test_packed_layout_matches_4d_path():
+    """multi_head_attention's packed-3D xla path equals the legacy 4D op."""
+    b, l, h, hd = 4, 50, 8, 64
+    d = h * hd
+    rng = np.random.RandomState(3)
+    q = jnp.asarray(rng.randn(b, l, d), jnp.float32)
+    with jax.default_matmul_precision("highest"):
+        packed = attention.multi_head_attention(q, q, q, h, impl="xla")
+        q4 = q.reshape(b, l, h, hd)
+        legacy = attention.dot_product_attention(q4, q4, q4, impl="xla")
+    np.testing.assert_allclose(np.asarray(packed),
+                               np.asarray(legacy.reshape(b, l, d)),
+                               atol=1e-5)
