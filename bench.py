@@ -87,7 +87,42 @@ def time_steps(update, state, batch, warmup: int = 3, iters: int = 20):
     loss = float(meas["training_loss"])
     jax.block_until_ready(state)
     dt = time.perf_counter() - t0
-    return dt / iters, loss
+    # the caller's state was donated on the first call; hand back a live one
+    return dt / iters, loss, state
+
+
+def measure_matmul_peak(n: int = 8192, iters: int = 10) -> float:
+    """Measured bf16 matmul peak of this chip (FLOP/s) — the MFU denominator.
+
+    Measured rather than assumed: the bench may run behind a relay with its
+    own ceiling, and nominal datasheet numbers would overstate attainable
+    peak (reference metric: clipa_jax/helpers/utils.py:367 reports only
+    img/sec; we additionally report utilization against hardware reality).
+    """
+    import jax
+    import jax.numpy as jnp
+    a = jnp.ones((n, n), jnp.bfloat16)
+    f = jax.jit(lambda a: a @ a)
+    r = f(a)
+    float(jnp.sum(r.astype(jnp.float32)))  # host transfer = reliable sync
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        r = f(r * 0 + a)  # data dependency defeats any dispatch caching
+    float(jnp.sum(r.astype(jnp.float32)))
+    dt = (time.perf_counter() - t0) / iters
+    return 2 * n ** 3 / dt
+
+
+def step_flops(update, state, batch) -> float:
+    """FLOPs of one compiled train step, from XLA's own cost model."""
+    try:
+        compiled = update.lower(state, batch).compile()
+        cost = compiled.cost_analysis()
+        if isinstance(cost, list):
+            cost = cost[0]
+        return float(cost.get("flops", 0.0))
+    except Exception:
+        return 0.0
 
 
 def main():
@@ -105,14 +140,29 @@ def main():
     # Ours: bf16 compute, bf16 Adam moments, fused device-side preprocessing.
     update, state, gbatch = build_step("bfloat16", batch, variant=variant,
                                        mu_dtype="bfloat16")
-    step_time, loss = time_steps(update, state, gbatch, iters=iters)
+    step_time, loss, state = time_steps(update, state, gbatch, iters=iters)
     pairs_per_sec_chip = batch / step_time / n_chips
+
+    flops = step_flops(update, state, gbatch)
+    peak = measure_matmul_peak() if on_tpu else 0.0
+    mfu = (flops / step_time / peak / n_chips) if (flops and peak) else None
+
+    trace_dir = None
+    if on_tpu:
+        trace_dir = "/tmp/clipa_bench_trace"
+        try:
+            with jax.profiler.trace(trace_dir):
+                s2, meas = update(state, gbatch)
+                float(meas["training_loss"])
+            del s2
+        except Exception:
+            trace_dir = None
 
     # Reference-equivalent: fp32 everywhere (what clipa_jax's pmap trainer
     # runs by default: fp32 params/compute, fp32 Adam).
     update_b, state_b, gbatch_b = build_step("float32", batch,
                                              variant=variant)
-    base_time, _ = time_steps(update_b, state_b, gbatch_b, iters=iters)
+    base_time, _, _ = time_steps(update_b, state_b, gbatch_b, iters=iters)
     base_pairs = batch / base_time / n_chips
 
     print(json.dumps({
@@ -128,6 +178,11 @@ def main():
             "step_time_ms": round(step_time * 1e3, 2),
             "baseline_pairs_per_sec_chip": round(base_pairs, 2),
             "final_loss": round(loss, 4),
+            "step_tflops": round(flops / 1e12, 2) if flops else None,
+            "measured_matmul_peak_tflops":
+                round(peak / 1e12, 1) if peak else None,
+            "mfu": round(mfu, 3) if mfu is not None else None,
+            "profiler_trace": trace_dir,
         },
     }))
 

@@ -34,9 +34,14 @@ from clipa_tpu.parallel import mesh as mesh_lib
 
 def make_for_train(source: DataSource, pp_fn: Callable, batch_size: int,
                    *, shuffle_buffer: int = 50_000, seed: int = 0,
-                   num_workers: int = 8,
-                   prefetch_batches: int = 2) -> Iterator[dict]:
-    """Yields host-local numpy batches of size batch_size/process_count."""
+                   num_workers: int = 8, prefetch_batches: int = 2,
+                   batch_fn: Optional[Callable] = None) -> Iterator[dict]:
+    """Yields host-local numpy batches of size batch_size/process_count.
+
+    batch_fn: optional transform applied to each *batched* dict (e.g.
+    mixup/cutmix via `pp.augment.make_mixup_fn`) — the reference's `mix_fn`
+    hook (clipa_jax/datasets/input_pipeline.py:38,64-65).
+    """
     local_bs = batch_size // jax.process_count()
 
     def sample_stream():
@@ -49,7 +54,10 @@ def make_for_train(source: DataSource, pp_fn: Callable, batch_size: int,
     stream = _shuffle(sample_stream(), shuffle_buffer, seed)
     stream = _map_threaded(stream, pp_fn, num_workers,
                            prefetch=local_bs * prefetch_batches)
-    return _batch(stream, local_bs, drop_remainder=True)
+    batches = _batch(stream, local_bs, drop_remainder=True)
+    if batch_fn is not None:
+        batches = map(batch_fn, batches)
+    return batches
 
 
 def make_for_inference(source: DataSource, pp_fn: Callable, batch_size: int,

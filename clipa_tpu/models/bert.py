@@ -15,6 +15,7 @@ from typing import Any, Optional
 
 import flax.linen as nn
 import jax.numpy as jnp
+import numpy as np
 
 from clipa_tpu.models import layers
 
@@ -28,6 +29,7 @@ class BertBlock(nn.Module):
     mlp_dim: int
     dropout: float = 0.0
     dtype: Optional[Any] = None
+    gelu_approx: bool = False  # erf gelu: HF/`hidden_act="gelu"` semantics
 
     @nn.compact
     def __call__(self, x: Array, deterministic: bool = True) -> Array:
@@ -43,7 +45,8 @@ class BertBlock(nn.Module):
             mlp_dim=self.mlp_dim, dropout=self.dropout,
             fc_init=nn.initializers.normal(stddev=0.02),
             proj_init=nn.initializers.normal(stddev=0.02),
-            dtype=self.dtype, name="MlpBlock_0")(x, deterministic)
+            dtype=self.dtype, gelu_approx=self.gelu_approx,
+            name="MlpBlock_0")(x, deterministic)
         y = nn.Dropout(rate=self.dropout)(y, deterministic)
         return nn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32,
                             name="LayerNorm_1")(x + y)
@@ -123,8 +126,98 @@ def decode_variant(variant: Optional[str]) -> dict:
     }[variant]
 
 
+def convert_hf_state_dict(sd: dict, depth: int, num_heads: int) -> dict:
+    """Maps a HuggingFace `BertModel` state dict onto this tower's params.
+
+    The reference initializes its BERT tower from Google TF checkpoints via
+    flaxformer (clipa_jax/models/bert.py:load + configs/clip_common.py:26-42);
+    this framework is TF-free, so the same capability is provided from the
+    HF-torch release of those exact weights (`bert-base-uncased` etc.).
+
+    Raises KeyError on missing keys and ValueError on unconsumed ones, like
+    `compat.openclip.convert_torch_state_dict`.
+    """
+    sd = {k: np.asarray(v) for k, v in sd.items()
+          if not k.startswith("cls.")}  # drop the MLM head if present
+    consumed = set()
+
+    def take(name):
+        consumed.add(name)
+        return sd[name]
+
+    width = take("embeddings.word_embeddings.weight").shape[1]
+    hd = width // num_heads
+    p = {
+        "word_embeddings": {
+            "embedding": take("embeddings.word_embeddings.weight")},
+        "position_embeddings":
+            take("embeddings.position_embeddings.weight")[None],
+        # single-segment input: segment-0 row only
+        "type_embeddings":
+            take("embeddings.token_type_embeddings.weight")[:1][None],
+        "embeddings_norm": {"scale": take("embeddings.LayerNorm.weight"),
+                            "bias": take("embeddings.LayerNorm.bias")},
+        "pooler": {"kernel": take("pooler.dense.weight").T,
+                   "bias": take("pooler.dense.bias")},
+    }
+    # token_type rows beyond 0 are deliberately unused (CLIP text input is
+    # single-segment); mark them consumed.
+    for i in range(depth):
+        hf = f"encoder.layer.{i}."
+        attn = {}
+        for ours, theirs in [("query", "attention.self.query"),
+                             ("key", "attention.self.key"),
+                             ("value", "attention.self.value")]:
+            w = take(hf + theirs + ".weight")  # (width, width) torch (out,in)
+            b = take(hf + theirs + ".bias")
+            attn[ours] = {"kernel": w.T.reshape(width, num_heads, hd),
+                          "bias": b.reshape(num_heads, hd)}
+        wo = take(hf + "attention.output.dense.weight")
+        attn["out"] = {"kernel": wo.T.reshape(num_heads, hd, width),
+                       "bias": take(hf + "attention.output.dense.bias")}
+        p[f"encoderblock_{i}"] = {
+            "MultiHeadDotProductAttention_0": attn,
+            "LayerNorm_0": {
+                "scale": take(hf + "attention.output.LayerNorm.weight"),
+                "bias": take(hf + "attention.output.LayerNorm.bias")},
+            "MlpBlock_0": {
+                "Dense_0": {
+                    "kernel": take(hf + "intermediate.dense.weight").T,
+                    "bias": take(hf + "intermediate.dense.bias")},
+                "Dense_1": {
+                    "kernel": take(hf + "output.dense.weight").T,
+                    "bias": take(hf + "output.dense.bias")}},
+            "LayerNorm_1": {
+                "scale": take(hf + "output.LayerNorm.weight"),
+                "bias": take(hf + "output.LayerNorm.bias")},
+        }
+    leftover = set(sd) - consumed
+    if leftover:
+        raise ValueError(f"Unconsumed HF BERT keys: {sorted(leftover)[:8]}"
+                         f"{'...' if len(leftover) > 8 else ''}")
+    return p
+
+
 def load(init_params, init_file, model_cfg=None, dont_load=()):
-    from clipa_tpu.train import checkpoint as ckpt
+    """Loads npz checkpoints, HF-torch files (*.pt/*.bin/*.safetensors), or
+    `hf:<model-name>` via the local transformers cache."""
     from clipa_tpu.models import common
-    restored = ckpt.load_params(init_file)
+
+    depth = len([k for k in init_params if k.startswith("encoderblock_")])
+    heads = (model_cfg or {}).get("num_heads", 12)
+    if str(init_file).startswith("hf:"):
+        from transformers import BertModel
+        hf = BertModel.from_pretrained(str(init_file)[3:])
+        restored = convert_hf_state_dict(
+            {k: v.detach().numpy() for k, v in hf.state_dict().items()},
+            depth, heads)
+    elif str(init_file).endswith((".pt", ".bin", ".safetensors")):
+        import torch
+        sd = torch.load(init_file, map_location="cpu", weights_only=True)
+        sd = sd.get("state_dict", sd)
+        sd = {k.removeprefix("bert."): v.numpy() for k, v in sd.items()}
+        restored = convert_hf_state_dict(sd, depth, heads)
+    else:
+        from clipa_tpu.train import checkpoint as ckpt
+        restored = ckpt.load_params(init_file)
     return common.merge_params(restored, init_params, dont_load)

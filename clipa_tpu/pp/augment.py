@@ -151,13 +151,22 @@ def get_random_erase(prob: float = 0.25, min_area: float = 0.02,
 
 def mixup_cutmix(batch: dict, rng: np.random.Generator, *,
                  mixup_alpha: float = 0.8, cutmix_alpha: float = 1.0,
-                 switch_prob: float = 0.5, key: str = "image") -> dict:
-    """Applies mixup or cutmix to a batched sample dict; returns the batch
-    plus ("mix_lam", "mix_perm") for loss-side mixing.
+                 prob: float = 1.0, switch_prob: float = 0.5,
+                 label_smoothing: float = 0.0, key: str = "image",
+                 label_key: str = "labels") -> dict:
+    """Applies mixup or cutmix to a batched sample dict.
+
+    If the batch carries float one-hot labels under `label_key`, they are
+    mixed in place (timm semantics: `lam * y + (1-lam) * y[perm]`, with
+    optional label smoothing) and the batch is returned ready for any
+    softmax/sigmoid loss. Otherwise ("labels" are token ids or absent)
+    ("mix_lam", "mix_perm") are attached for loss-side mixing.
 
     Equivalent capability to the reference's MixupAndCutmix
     (clipa_jax/transforms/mixup.py), as a batch transform over numpy.
     """
+    if prob < 1.0 and rng.random() >= prob:
+        return batch
     imgs = np.asarray(batch[key], np.float32)
     n = imgs.shape[0]
     perm = rng.permutation(n)
@@ -179,9 +188,36 @@ def mixup_cutmix(batch: dict, rng: np.random.Generator, *,
         mixed = lam * imgs + (1 - lam) * imgs[perm]
     out = dict(batch)
     out[key] = mixed.astype(np.asarray(batch[key]).dtype)
-    out["mix_lam"] = np.asarray(lam, np.float32)
-    out["mix_perm"] = perm.astype(np.int32)
+    labels = batch.get(label_key)
+    if labels is not None and np.issubdtype(np.asarray(labels).dtype,
+                                            np.floating):
+        y = np.asarray(labels, np.float32)
+        if label_smoothing:
+            ncls = y.shape[-1]
+            y = y * (1 - label_smoothing) + label_smoothing / ncls
+        out[label_key] = lam * y + (1 - lam) * y[perm]
+    else:
+        # batch-shaped so the device-put path can shard them like any other
+        # per-example field (rank-0 arrays cannot take a batch PartitionSpec)
+        out["mix_lam"] = np.full((n,), lam, np.float32)
+        out["mix_perm"] = perm.astype(np.int32)
     return out
+
+
+def make_mixup_fn(seed: int = 0, **kw) -> "callable":
+    """Batch-level transform for `pipeline.make_for_train(batch_fn=...)`.
+
+    Built by the trainer from `config.input.mixup = dict(...)` — the wiring
+    the reference does with `mix_fn` in
+    clipa_jax/datasets/input_pipeline.py:38,64-65.
+
+    For classification-style objectives (one-hot float labels) only: mixing
+    images while token-id captions stay unmixed breaks the contrastive
+    pairing InfoNCE depends on — which is why every reference CLIP config
+    ships `use_mixup = False` (e.g. model_b/64_32_pre_training.py:155).
+    """
+    rng = np.random.default_rng(np.random.SeedSequence([seed, 0x4D49]))
+    return lambda batch: mixup_cutmix(batch, rng, **kw)
 
 
 # ---------------------------------------------------------------------------

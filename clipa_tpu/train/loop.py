@@ -53,11 +53,17 @@ def train(config: ConfigDict, workdir: Optional[str] = None) -> dict:
     source = data_core.get_source(**dict(config.input.data))
     ntrain = source.total_examples()
     pp_fn = registry.get_preprocess_fn(config.input.pp)
+    batch_fn = None
+    if config.input.get("mixup"):
+        from clipa_tpu.pp import augment as augment_lib
+        batch_fn = augment_lib.make_mixup_fn(
+            seed=config.get("seed", 0), **dict(config.input.mixup))
     batches = pipeline_lib.make_for_train(
         source, pp_fn, batch_size,
         shuffle_buffer=config.input.get("shuffle_buffer_size", 50_000),
         seed=config.get("seed", 0),
-        num_workers=config.input.get("num_workers", 8))
+        num_workers=config.input.get("num_workers", 8),
+        batch_fn=batch_fn)
     train_iter = pipeline_lib.start_input_pipeline(
         batches, mesh, n_prefetch=config.get("prefetch_to_device", 2))
 

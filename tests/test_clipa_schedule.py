@@ -91,7 +91,47 @@ def test_mixup_cutmix():
     batch = {"image": np.stack([np.zeros((8, 8, 3)), np.ones((8, 8, 3))])}
     out = mixup_cutmix(batch, rng)
     assert "mix_lam" in out and "mix_perm" in out
-    assert 0.0 <= float(out["mix_lam"]) <= 1.0
+    assert out["mix_lam"].shape == (2,)  # batch-shaped for device sharding
+    assert 0.0 <= float(out["mix_lam"][0]) <= 1.0
+
+
+def test_mixup_mixes_onehot_labels():
+    """Float one-hot labels are mixed in place (timm/reference semantics),
+    so softmax/sigmoid losses need no loss-side changes."""
+    from clipa_tpu.pp.augment import mixup_cutmix
+    rng = np.random.default_rng(3)
+    n, ncls = 8, 4
+    onehot = np.eye(ncls, dtype=np.float32)[np.arange(n) % ncls]
+    batch = {"image": np.random.default_rng(0).random((n, 8, 8, 3),
+                                                      np.float32),
+             "labels": onehot}
+    out = mixup_cutmix(batch, rng, switch_prob=0.0)  # force mixup branch
+    assert "mix_lam" not in out
+    np.testing.assert_allclose(out["labels"].sum(-1), 1.0, rtol=1e-5)
+    assert not np.allclose(out["labels"], onehot)  # actually mixed
+    # smoothing keeps rows normalized too
+    out2 = mixup_cutmix(dict(batch), rng, switch_prob=0.0,
+                        label_smoothing=0.1)
+    np.testing.assert_allclose(out2["labels"].sum(-1), 1.0, rtol=1e-5)
+
+
+def test_mixup_wired_into_train_pipeline():
+    """`config.input.mixup` reaches the batch stream via make_for_train's
+    batch_fn hook (reference: input_pipeline.py:64-65)."""
+    from clipa_tpu.data import core, pipeline
+    from clipa_tpu.pp.augment import make_mixup_fn
+
+    src = core.SyntheticSource(n_examples=32, res=8)
+
+    def pp(s):
+        return {"image": np.asarray(s["image"], np.float32)}
+
+    it = pipeline.make_for_train(
+        src, pp, batch_size=8, shuffle_buffer=1, seed=0, num_workers=0,
+        batch_fn=make_mixup_fn(seed=0, switch_prob=0.0))
+    b = next(it)
+    assert b["image"].shape[0] == 8
+    assert "mix_lam" in b and b["mix_perm"].shape == (8,)
 
 
 def _tiny(res, posemb="learn"):

@@ -39,6 +39,43 @@ def test_randaug_ops_all_run():
         assert np.asarray(out).shape == (24, 24, 3), fn.__name__
 
 
+def test_autoaugment_ops_all_run():
+    from clipa_tpu.pp import autoaugment
+    from PIL import Image
+    img = Image.fromarray(np.random.RandomState(0).randint(
+        0, 255, (32, 32, 3), np.uint8))
+    rng = np.random.default_rng(0)
+    names = {name for sub in autoaugment.POLICY_V0 for name, _, _ in sub}
+    names |= {"Cutout", "TranslateX", "Contrast", "Brightness", "Sharpness"}
+    for name in sorted(names):
+        out = autoaugment._apply_op(img, name, 7.0, rng)
+        assert np.asarray(out).shape == (32, 32, 3), name
+
+
+def test_autoaugment_pp_op():
+    from clipa_tpu.registry import get_preprocess_fn
+    pp = get_preprocess_fn('autoaug(policy="v0")|cutout(pad_size=4)')
+    img = np.random.RandomState(0).randint(0, 255, (32, 32, 3), np.uint8)
+    out = pp({"image": img, "_rng": np.random.default_rng(1)})
+    assert out["image"].shape == (32, 32, 3)
+    assert out["image"].dtype == np.uint8
+
+    # every sub-policy of v0 executes cleanly at prob=1
+    from clipa_tpu.pp import autoaugment
+    from PIL import Image
+    rng = np.random.default_rng(0)
+    pil = Image.fromarray(img)
+    for sub in autoaugment.POLICY_V0:
+        cur = pil
+        for name, _, mag in sub:
+            cur = autoaugment._apply_op(cur, name, float(mag), rng)
+        assert np.asarray(cur).shape == (32, 32, 3)
+
+    import pytest
+    with pytest.raises(ValueError):
+        get_preprocess_fn('autoaug(policy="nope")')
+
+
 def test_fewshot_evaluator_separable():
     """Linearly separable synthetic embeddings: probe must hit ~100%."""
     import jax

@@ -224,3 +224,53 @@ def test_bert_tower():
     params = model.init({"params": rng}, tokens)["params"]
     z, _ = model.apply({"params": params}, tokens)
     assert z.shape == (2, 32)
+
+
+def test_bert_matches_huggingface():
+    """LiT-init parity: a HF BertModel's weights converted into our tower
+    produce the same encodings + pooler output (the capability the reference
+    gets from TF checkpoints via flaxformer, clipa_jax/models/bert.py)."""
+    torch = pytest.importorskip("torch")
+    trf = pytest.importorskip("transformers")
+    from clipa_tpu.models import bert
+
+    cfg = trf.BertConfig(
+        vocab_size=100, hidden_size=32, num_hidden_layers=2,
+        num_attention_heads=4, intermediate_size=64,
+        max_position_embeddings=16, hidden_act="gelu",
+        hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0)
+    hf = trf.BertModel(cfg).eval()
+
+    model = bert.Model(width=32, depth=2, mlp_dim=64, num_heads=4,
+                       vocab_size=100, max_len=16)
+    tokens_np = np.random.RandomState(0).randint(0, 100, (2, 10))
+    params = model.init({"params": jax.random.PRNGKey(0)},
+                        jnp.asarray(tokens_np, jnp.int32))["params"]
+    sd = {k: v.detach().numpy() for k, v in hf.state_dict().items()}
+    converted = bert.convert_hf_state_dict(sd, depth=2, num_heads=4)
+    params = jax.tree.map(lambda old, new: np.asarray(new, old.dtype),
+                          params, converted)
+
+    pooled, out = model.apply({"params": params},
+                              jnp.asarray(tokens_np, jnp.int32))
+    with torch.no_grad():
+        ref = hf(torch.tensor(tokens_np))
+    np.testing.assert_allclose(np.asarray(out["encoded"]),
+                               ref.last_hidden_state.numpy(),
+                               atol=2e-5, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(pooled),
+                               ref.pooler_output.numpy(),
+                               atol=2e-5, rtol=1e-4)
+
+
+def test_bert_hf_converter_strict():
+    from clipa_tpu.models import bert
+    trf = pytest.importorskip("transformers")
+    cfg = trf.BertConfig(vocab_size=50, hidden_size=16, num_hidden_layers=1,
+                         num_attention_heads=2, intermediate_size=32,
+                         max_position_embeddings=8)
+    sd = {k: v.detach().numpy()
+          for k, v in trf.BertModel(cfg).state_dict().items()}
+    sd["mystery.weight"] = np.zeros(3, np.float32)
+    with pytest.raises(ValueError, match="Unconsumed"):
+        bert.convert_hf_state_dict(sd, depth=1, num_heads=2)

@@ -24,7 +24,9 @@ def test_smoke_train_runs(tmp_path, mesh8):
     assert os.path.exists(os.path.join(workdir, "config.json"))
     assert os.path.exists(os.path.join(workdir, "params.npz"))
 
-    # loss is finite and decreased vs the first logged step
+    # loss is finite at every logged step (6 steps can't demonstrate
+    # learning; the strict oracle is test_loop_evals.py::
+    # test_config_path_learns_and_beats_chance at 80 steps)
     losses = [r["training_loss"] for r in rows if "training_loss" in r]
     assert all(np.isfinite(losses))
 
