@@ -57,6 +57,9 @@ def _to_two_towers_cfg(cfg: dict, *, image_size=None, pos_embed=None) -> dict:
     (causal), gelu defaults to the exact (erf) form.
     """
     v, t = cfg["vision_cfg"], cfg["text_cfg"]
+    # OpenAI CLIP models use QuickGELU everywhere (model.py:452-515 passes
+    # quick_gelu=True through build_model_from_openai_state_dict)
+    quick = bool(cfg.get("quick_gelu"))
     vision_pool_style = v.get("pool_style", "open_clip")
     if vision_pool_style == "big_vision_gap":
         img_pool = "gap"           # mean over patch tokens, then ln_post
@@ -81,7 +84,8 @@ def _to_two_towers_cfg(cfg: dict, *, image_size=None, pos_embed=None) -> dict:
         posemb={"sin_cos_2d": "sincos2d"}.get(pos_embed, pos_embed)
         or "learn",
         ln_pre=bool(v.get("ln_pre", True)),
-        gelu_approx=v.get("gelu_approximate", "none") == "tanh",
+        gelu_approx="quick" if quick else
+        (v.get("gelu_approximate", "none") == "tanh"),
         ln_eps=1e-5,  # torch nn.LayerNorm default — the compat surface
     )
     text = dict(
@@ -93,7 +97,8 @@ def _to_two_towers_cfg(cfg: dict, *, image_size=None, pos_embed=None) -> dict:
         pool_type=text_pool,
         vocab_size=t["vocab_size"],
         causal_mask=bool(t.get("attention_mask", True)),
-        gelu_approx=t.get("gelu_approximate", "none") == "tanh",
+        gelu_approx="quick" if quick else
+        (t.get("gelu_approximate", "none") == "tanh"),
         ln_eps=1e-5,  # torch nn.LayerNorm default — the compat surface
     )
     return dict(image=image, text=text,
@@ -524,3 +529,70 @@ def create_model_from_pretrained(model_name: str, pretrained: str, **kw):
     model, _, preprocess_val = create_model_and_transforms(
         model_name, pretrained, **kw)
     return model, preprocess_val
+
+
+def _infer_openai_config(sd: dict) -> dict:
+    """open_clip model-config dict from an OpenAI CLIP state dict's shapes
+    (clipa_torch/open_clip/model.py:376-419). ViT towers only — ResNet
+    towers are an explicit non-goal (SURVEY.md §7)."""
+    if "visual.proj" not in sd:
+        raise ValueError("Only ViT OpenAI checkpoints are supported "
+                         "(ResNet towers are out of scope)")
+    vision_width = sd["visual.conv1.weight"].shape[0]
+    vision_layers = len([k for k in sd if k.startswith("visual.")
+                         and k.endswith(".attn.in_proj_weight")])
+    patch = sd["visual.conv1.weight"].shape[-1]
+    grid = round((sd["visual.positional_embedding"].shape[0] - 1) ** 0.5)
+    text_width = sd["ln_final.weight"].shape[0]
+    return {
+        "embed_dim": int(sd["text_projection"].shape[1]),
+        "quick_gelu": True,
+        "vision_cfg": {
+            "layers": int(vision_layers), "width": int(vision_width),
+            "patch_size": int(patch), "image_size": int(patch * grid),
+        },
+        "text_cfg": {
+            "context_length": int(sd["positional_embedding"].shape[0]),
+            "vocab_size": int(sd["token_embedding.weight"].shape[0]),
+            "width": int(text_width),
+            "heads": max(1, int(text_width // 64)),
+            "layers": len({k.split(".")[2] for k in sd
+                           if k.startswith("transformer.resblocks")}),
+        },
+    }
+
+
+def load_openai_model(path: str, *, precision: str = "float32",
+                      seed: int = 0) -> CLIPModel:
+    """Loads an OpenAI CLIP release (TorchScript archive or plain state
+    dict), inferring the architecture from tensor shapes — the capability of
+    the reference's `load_openai_model` (clipa_torch/open_clip/openai.py:23)
+    without the torch.jit execution path (we rebuild as JAX, so `jit=True`
+    tracing is meaningless here)."""
+    import torch
+    from clipa_tpu.models import two_towers
+
+    try:
+        sd = torch.load(path, map_location="cpu", weights_only=True)
+        sd = sd.get("state_dict", sd)
+    except Exception:
+        sd = torch.jit.load(path, map_location="cpu").state_dict()
+    sd_np = {k: v.numpy() for k, v in sd.items()
+             if isinstance(v, torch.Tensor)}
+
+    cfg = _infer_openai_config(sd_np)
+    tt_cfg = _to_two_towers_cfg(cfg)
+    dtype = {"float32": None, "bf16": jnp.bfloat16,
+             "bfloat16": jnp.bfloat16}[precision]
+    model = two_towers.Model(dtype=dtype, **tt_cfg)
+    image_size = cfg["vision_cfg"]["image_size"]
+    ctx = cfg["text_cfg"]["context_length"]
+    params = jax.jit(lambda r: model.init(
+        {"params": r}, jnp.zeros((1, image_size, image_size, 3)),
+        jnp.zeros((1, ctx), jnp.int32))["params"])(jax.random.PRNGKey(seed))
+
+    from clipa_tpu.models.common import merge_params
+    loaded = convert_torch_state_dict(sd_np,
+                                      heads=_heads_from_params(params))
+    params = merge_params(loaded, params)
+    return CLIPModel(model, params, cfg, image_size, ctx)

@@ -194,7 +194,9 @@ class MlpBlock(nn.Module):
     proj_init: Callable = nn.initializers.xavier_uniform()
     dtype: Optional[Dtype] = None
     quant: Optional[str] = None
-    gelu_approx: bool = True
+    # True = tanh-approx, False = erf, "quick" = x*sigmoid(1.702x)
+    # (OpenAI CLIP's QuickGELU, clipa_torch/open_clip/transformer.py:78-82)
+    gelu_approx: Any = True
 
     @nn.compact
     def __call__(self, x: Array, deterministic: bool = True) -> Array:
@@ -202,7 +204,10 @@ class MlpBlock(nn.Module):
         dtype = self.dtype or x.dtype
         x = QuantDense(self.mlp_dim or 4 * d, kernel_init=self.fc_init,
                        dtype=dtype, quant=self.quant, name="Dense_0")(x)
-        x = nn.gelu(x, approximate=self.gelu_approx)
+        if self.gelu_approx == "quick":
+            x = x * jax.nn.sigmoid(1.702 * x)
+        else:
+            x = nn.gelu(x, approximate=bool(self.gelu_approx))
         x = nn.Dropout(rate=self.dropout)(x, deterministic)
         x = QuantDense(d, kernel_init=self.proj_init, dtype=dtype,
                        quant=self.quant, name="Dense_1")(x)
@@ -223,7 +228,7 @@ class EncoderBlock(nn.Module):
     dtype: Optional[Dtype] = None
     attn_impl: str = "auto"
     quant: Optional[str] = None
-    gelu_approx: bool = True
+    gelu_approx: Any = True
     # flax/big_vision default 1e-6; torch/open_clip checkpoints use 1e-5.
     ln_eps: float = 1e-6
 
@@ -274,7 +279,7 @@ class Encoder(nn.Module):
     dtype: Optional[Dtype] = None
     attn_impl: str = "auto"
     quant: Optional[str] = None
-    gelu_approx: bool = True
+    gelu_approx: Any = True
     ln_eps: float = 1e-6
 
     @nn.compact

@@ -60,7 +60,7 @@ class _Model(nn.Module):
     # clipa_torch/open_clip/transformer.py:619-625). CLIPA-v2/BigVision
     # towers are bidirectional (attention_mask: false).
     causal_mask: bool = False
-    gelu_approx: bool = True
+    gelu_approx: Any = True  # True=tanh, False=erf, "quick"=QuickGELU
     # LayerNorm epsilon: flax/big_vision 1e-6, torch/open_clip 1e-5
     ln_eps: float = 1e-6
 

@@ -115,7 +115,7 @@ class _Model(nn.Module):
     # pre-transformer LayerNorm (clipa_torch/open_clip/transformer.py:391)
     ln_pre: bool = False
     # tanh-approximate gelu (BigVision) vs erf gelu (open_clip default)
-    gelu_approx: bool = True
+    gelu_approx: Any = True  # True=tanh, False=erf, "quick"=QuickGELU
     # LayerNorm epsilon: flax/big_vision 1e-6, torch/open_clip 1e-5
     ln_eps: float = 1e-6
 

@@ -126,6 +126,17 @@ def train(config: ConfigDict, workdir: Optional[str] = None) -> dict:
     metric = metrics_lib.MetricWriter(workdir, wandb_run=wandb_run)
     metric.write_config(config)
     chrono = metrics_lib.Chrono()
+
+    # workdir -> remote storage mirroring on the lead process
+    # (reference: training/main.py:182-197 + file_utils.py:44-67)
+    syncer = None
+    if workdir and config.get("remote_sync") and jax.process_index() == 0:
+        from clipa_tpu.train import remote_sync as sync_lib
+        rs = config.remote_sync
+        rs = dict(rs) if not isinstance(rs, str) else {"path": rs}
+        syncer = sync_lib.SyncThread(
+            workdir, rs["path"],
+            every_seconds=float(rs.get("every_seconds", 300))).start()
     profiler = metrics_lib.Profiler(
         workdir, start_step=config.get("profile_at_step", 10))
 
@@ -249,6 +260,8 @@ def train(config: ConfigDict, workdir: Optional[str] = None) -> dict:
         ckpt_lib.save_checkpoint({"params": jax.device_get(state["params"])},
                                  os.path.join(workdir, "params.npz"))
     metric.close()
+    if syncer:
+        syncer.stop(final_sync=True)
     return jax.device_get(state)
 
 

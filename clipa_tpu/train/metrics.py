@@ -47,21 +47,39 @@ class MetricWriter:
         self._row = {"step": step}
 
     def measure(self, name: str, value) -> Any:
-        """Records one metric; returns the raw value for chaining."""
+        """Records one metric; returns the raw value for chaining.
+
+        Device values are kept as-is and fetched in ONE batched transfer at
+        `step_end` — per-metric `device_get` costs a host round-trip each
+        (and on a TPU relay, a tunnel round-trip), which dominated logging
+        steps when metrics were pulled one by one.
+        """
         if jax.process_index() != 0:
             return value
-        val = np.asarray(jax.device_get(value))
-        val = float(val) if val.ndim == 0 else val.tolist()
-        self._row[name] = val
-        self.log_fn(f"[{self.step}] {name} = {val}")
-        if self.wandb_run is not None:
-            self.wandb_run.log({name: val}, step=self.step)
+        self._row[name] = value
         return value
 
+    def _materialize(self) -> dict:
+        raw = {k: v for k, v in self._row.items() if k != "step"}
+        host = jax.device_get(raw)  # one transfer for the whole row
+        out = {"step": self._row.get("step", self.step)}
+        for name, v in host.items():
+            val = np.asarray(v)
+            out[name] = float(val) if val.ndim == 0 else val.tolist()
+        return out
+
     def step_end(self) -> None:
-        if self._file is None or len(self._row) <= 1:
+        if len(self._row) <= 1:
             return
-        row = dict(self._row)
+        row = self._materialize()
+        for name, val in row.items():
+            if name != "step":
+                self.log_fn(f"[{row['step']}] {name} = {val}")
+        if self.wandb_run is not None:
+            self.wandb_run.log({k: v for k, v in row.items() if k != "step"},
+                               step=row["step"])
+        if self._file is None:
+            return
 
         def _write():
             self._file.write(json.dumps(row) + "\n")

@@ -212,6 +212,86 @@ def test_openclip_semantics_match_torch_reference():
     np.testing.assert_allclose(ztxt, ztxt_t.numpy(), atol=1e-6)
 
 
+def _openai_style_state_dict(width=64, layers=2, patch=16, grid=2,
+                             twidth=64, tlayers=2, ctx=8, vocab=64,
+                             embed=32, seed=0):
+    """Synthetic state dict in the OpenAI CLIP release layout
+    (clipa_torch/open_clip/model.py:376-419 infers config from it)."""
+    rs = np.random.RandomState(seed)
+    sd = {
+        "logit_scale": np.float32(np.log(1 / 0.07)),
+        "visual.conv1.weight": rs.randn(width, 3, patch, patch),
+        "visual.class_embedding": rs.randn(width),
+        "visual.positional_embedding": rs.randn(grid * grid + 1, width),
+        "visual.proj": rs.randn(width, embed),
+        "visual.ln_pre.weight": np.ones(width), "visual.ln_pre.bias":
+            np.zeros(width),
+        "visual.ln_post.weight": np.ones(width), "visual.ln_post.bias":
+            np.zeros(width),
+        "token_embedding.weight": rs.randn(vocab, twidth),
+        "positional_embedding": rs.randn(ctx, twidth),
+        "text_projection": rs.randn(twidth, embed),
+        "ln_final.weight": np.ones(twidth), "ln_final.bias": np.zeros(twidth),
+    }
+    for pre, w, n in [("visual.transformer.resblocks", width, layers),
+                      ("transformer.resblocks", twidth, tlayers)]:
+        for i in range(n):
+            b = f"{pre}.{i}."
+            sd.update({
+                b + "ln_1.weight": np.ones(w), b + "ln_1.bias": np.zeros(w),
+                b + "ln_2.weight": np.ones(w), b + "ln_2.bias": np.zeros(w),
+                b + "attn.in_proj_weight": rs.randn(3 * w, w),
+                b + "attn.in_proj_bias": rs.randn(3 * w),
+                b + "attn.out_proj.weight": rs.randn(w, w),
+                b + "attn.out_proj.bias": rs.randn(w),
+                b + "mlp.c_fc.weight": rs.randn(4 * w, w),
+                b + "mlp.c_fc.bias": rs.randn(4 * w),
+                b + "mlp.c_proj.weight": rs.randn(w, 4 * w),
+                b + "mlp.c_proj.bias": rs.randn(w),
+            })
+    return {k: np.asarray(v, np.float32) for k, v in sd.items()}
+
+
+def test_load_openai_model(tmp_path):
+    """OpenAI-release loading: architecture inferred from tensor shapes,
+    QuickGELU activated, weights land (openai.py:23 parity)."""
+    torch = pytest.importorskip("torch")
+    sd = _openai_style_state_dict()
+    path = str(tmp_path / "openai_clip.pt")
+    torch.save({k: torch.tensor(v) for k, v in sd.items()}, path)
+
+    model = openclip.load_openai_model(path)
+    assert model.config["quick_gelu"] is True
+    assert model.config["vision_cfg"]["image_size"] == 32
+    assert model.config["text_cfg"]["context_length"] == 8
+    # weights actually landed, not re-initialized
+    np.testing.assert_allclose(
+        np.asarray(model.params["img"]["pos_embedding"][0]),
+        sd["visual.positional_embedding"], rtol=1e-6)
+    z = model.encode_image(np.zeros((1, 32, 32, 3), np.float32))
+    assert z.shape == (1, 32)
+    np.testing.assert_allclose(np.linalg.norm(np.asarray(z), axis=-1),
+                               1.0, rtol=1e-4)
+
+
+def test_infer_openai_config_rejects_resnet():
+    sd = {"visual.layer1.0.conv1.weight": np.zeros((4, 3, 3, 3))}
+    with pytest.raises(ValueError, match="ViT"):
+        openclip._infer_openai_config(sd)
+
+
+def test_quick_gelu_differs_from_erf():
+    from clipa_tpu.models.layers import MlpBlock
+    x = jnp.asarray(np.random.RandomState(0).randn(2, 4, 8), jnp.float32)
+    outs = {}
+    for mode in (False, True, "quick"):
+        m = MlpBlock(mlp_dim=16, gelu_approx=mode)
+        p = m.init(jax.random.PRNGKey(0), x)
+        outs[str(mode)] = np.asarray(m.apply(p, x))
+    assert not np.allclose(outs["quick"], outs["False"])
+    assert not np.allclose(outs["quick"], outs["True"])
+
+
 def test_get_tokenizer_bert(tmp_path):
     vocab = ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "a", "photo", "of", "cat",
              "dog"]

@@ -40,10 +40,11 @@ def _batch(b=16, res=32, tokens=8, seed=0):
 
 
 def test_mesh_shapes():
+    n = jax.device_count()
     mesh = create_mesh(fsdp=1)
-    assert mesh.shape["data"] == 8 and mesh.shape["fsdp"] == 1
+    assert mesh.shape["data"] == n and mesh.shape["fsdp"] == 1
     mesh2 = create_mesh(fsdp=2)
-    assert mesh2.shape["data"] == 4 and mesh2.shape["fsdp"] == 2
+    assert mesh2.shape["data"] == n // 2 and mesh2.shape["fsdp"] == 2
 
 
 def test_fsdp_shardings_shard_large_params(mesh_4x2):

@@ -10,10 +10,21 @@ from clipa_tpu.config import load_config
 from clipa_tpu.train import loop
 
 
-def test_smoke_train_runs(tmp_path, mesh8):
+@pytest.fixture(scope="module")
+def smoke_run(tmp_path_factory):
+    """One 6-step smoke training shared by several assertion-only tests
+    (each loop.train invocation costs a full trace+compile on the 1-core
+    CI host, so artifact checks share a single run)."""
+    workdir = str(tmp_path_factory.mktemp("smoke") / "run")
+    remote = str(tmp_path_factory.mktemp("smoke") / "remote")
     config = load_config("clipa_tpu/configs/smoke.py:steps=6,batch=16")
-    workdir = str(tmp_path / "run")
+    config.remote_sync = dict(path=remote, every_seconds=9999)
     state = loop.train(config, workdir)
+    return workdir, remote, state
+
+
+def test_smoke_train_runs(smoke_run):
+    workdir, _, state = smoke_run
     assert int(state["step"]) == 6
 
     # metrics were written
@@ -31,28 +42,52 @@ def test_smoke_train_runs(tmp_path, mesh8):
     assert all(np.isfinite(losses))
 
 
-def test_resume_from_checkpoint(tmp_path):
+def test_resume_from_checkpoint(smoke_run, tmp_path):
+    import shutil
+    src_workdir, _, _ = smoke_run
+    # work on a copy: other tests assert on the shared run's artifacts
     workdir = str(tmp_path / "run")
-    config = load_config("clipa_tpu/configs/smoke.py:steps=5,batch=16")
-    state5 = loop.train(config, workdir)
-
-    # extend to 8 steps: must resume from step 5, not restart
-    config = load_config("clipa_tpu/configs/smoke.py:steps=8,batch=16")
-    state8 = loop.train(config, workdir)
-    assert int(state8["step"]) == 8
+    shutil.copytree(src_workdir, workdir)
+    # extend the finished 6-step run to 9: must resume, not restart
+    config = load_config("clipa_tpu/configs/smoke.py:steps=9,batch=16")
+    state9 = loop.train(config, workdir)
+    assert int(state9["step"]) == 9
 
     with open(os.path.join(workdir, "metrics.jsonl")) as f:
         steps = [json.loads(line)["step"] for line in f]
-    # step 5 logged once by run 1; run 2 logs 6..8 only
-    assert 6 in steps or 8 in steps
-    assert steps.count(5) == 1
+    # steps 5-6 logged once by run 1; run 2 logs 7..9 only
+    assert 9 in steps
+    assert steps.count(5) == 1 and steps.count(6) == 1
 
 
-def test_npz_params_export_roundtrip(tmp_path):
+def test_remote_sync_mirrors_workdir(smoke_run):
+    """config.remote_sync mirrors the workdir to remote storage at the end
+    of training (reference: training/main.py:182-197)."""
+    _, remote, _ = smoke_run
+    assert os.path.exists(os.path.join(remote, "metrics.jsonl"))
+    assert os.path.exists(os.path.join(remote, "params.npz"))
+    assert os.path.exists(os.path.join(remote, "config.json"))
+
+
+def test_remote_sync_delta_copy(tmp_path):
+    from clipa_tpu.train import remote_sync
+    src = tmp_path / "src"
+    src.mkdir()
+    (src / "a.txt").write_text("one")
+    (src / "skip.tmp").write_text("nope")
+    dst = str(tmp_path / "dst")
+    assert remote_sync.sync(str(src), dst)
+    assert (tmp_path / "dst" / "a.txt").read_text() == "one"
+    assert not os.path.exists(os.path.join(dst, "skip.tmp"))
+    # unchanged file is not re-copied (mtime preserved by the delta check)
+    before = os.stat(os.path.join(dst, "a.txt")).st_mtime_ns
+    assert remote_sync.sync(str(src), dst)
+    assert os.stat(os.path.join(dst, "a.txt")).st_mtime_ns == before
+
+
+def test_npz_params_export_roundtrip(smoke_run):
     from clipa_tpu.train import checkpoint as ckpt
-    workdir = str(tmp_path / "run")
-    config = load_config("clipa_tpu/configs/smoke.py:steps=2,batch=16")
-    state = loop.train(config, workdir)
+    workdir, _, state = smoke_run
     params = ckpt.load_params(os.path.join(workdir, "params.npz"))
     assert "img" in params and "txt" in params and "t" in params
     np.testing.assert_allclose(
