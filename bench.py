@@ -23,7 +23,8 @@ import numpy as np
 
 def build_step(dtype_str: str, batch: int, res: int = 112, tokens: int = 8,
                variant: str = "L/16", mu_dtype: str = None,
-               remat: str = "none", quant: str = None):
+               remat: str = "none", quant: str = None,
+               attn_impl: str = "auto"):
     import jax
     import jax.numpy as jnp
     from clipa_tpu import optim
@@ -38,9 +39,11 @@ def build_step(dtype_str: str, batch: int, res: int = 112, tokens: int = 8,
                "G": 1280}.get(tv, 768)
     model = two_towers.Model(
         image={"variant": variant, "pool_type": "tok", "posemb": "sincos2d",
-               "remat_policy": remat, "quant": quant},
+               "remat_policy": remat, "quant": quant,
+               "attn_impl": attn_impl},
         text={"variant": tv, "pool_type": "last", "vocab_size": 32000,
-              "remat_policy": remat, "quant": quant},
+              "remat_policy": remat, "quant": quant,
+              "attn_impl": attn_impl},
         out_dim=(out_dim, out_dim), temperature_init=1 / 0.07, dtype=dtype)
 
     config = ConfigDict(
@@ -91,7 +94,7 @@ def time_steps(update, state, batch, warmup: int = 3, iters: int = 20):
     return dt / iters, loss, state
 
 
-def measure_matmul_peak(n: int = 8192, iters: int = 10) -> float:
+def measure_matmul_peak(n: int = 8192, iters: int = 40) -> float:
     """Measured bf16 matmul peak of this chip (FLOP/s) — the MFU denominator.
 
     Measured rather than assumed: the bench may run behind a relay with its
@@ -101,16 +104,23 @@ def measure_matmul_peak(n: int = 8192, iters: int = 10) -> float:
     """
     import jax
     import jax.numpy as jnp
+    import functools
     a = jnp.ones((n, n), jnp.bfloat16)
-    f = jax.jit(lambda a: a @ a)
-    r = f(a)
-    float(jnp.sum(r.astype(jnp.float32)))  # host transfer = reliable sync
+
+    @jax.jit
+    def chain(a, k):
+        # k chained matmuls in ONE dispatch: eager per-op round-trips to a
+        # remote relay would otherwise dominate and understate the peak.
+        # k is a traced operand so warmup and timed calls share one program.
+        return jax.lax.fori_loop(0, k, lambda _, x: (a @ x) * 1e-4, a,
+                                 unroll=False)
+
+    float(jnp.sum(chain(a, 2).astype(jnp.float32)))  # warmup/compile
     t0 = time.perf_counter()
-    for _ in range(iters):
-        r = f(r * 0 + a)  # data dependency defeats any dispatch caching
-    float(jnp.sum(r.astype(jnp.float32)))
-    dt = (time.perf_counter() - t0) / iters
-    return 2 * n ** 3 / dt
+    r = chain(a, iters)
+    float(jnp.sum(r.astype(jnp.float32)))  # host transfer = reliable sync
+    dt = time.perf_counter() - t0
+    return 2 * n ** 3 * iters / dt
 
 
 def step_flops(update, state, batch) -> float:
@@ -158,12 +168,29 @@ def main():
         except Exception:
             trace_dir = None
 
+    # Free the bf16 run's HBM before building the fp32 baseline: the fp32
+    # state (params + fp32 Adam moments) alone is ~4.7G and both don't fit.
+    del update, state, gbatch
+
     # Reference-equivalent: fp32 everywhere (what clipa_jax's pmap trainer
-    # runs by default: fp32 params/compute, fp32 Adam).
-    update_b, state_b, gbatch_b = build_step("float32", batch,
-                                             variant=variant)
-    base_time, _, _ = time_steps(update_b, state_b, gbatch_b, iters=iters)
-    base_pairs = batch / base_time / n_chips
+    # runs by default: fp32 params/compute, fp32 Adam). fp32 activations may
+    # not fit this chip's HBM at our batch — the reference itself ran 256
+    # pairs/core (16384 global / 64 v3 cores, model_h/84_8_pre_training.py:27)
+    # — so fall back by halving until the program fits; pairs/sec/chip
+    # normalizes the comparison.
+    base_batch = batch
+    while True:
+        try:
+            update_b, state_b, gbatch_b = build_step(
+                "float32", base_batch, variant=variant, attn_impl="xla")
+            base_time, _, _ = time_steps(update_b, state_b, gbatch_b,
+                                         iters=iters)
+            break
+        except Exception:
+            if base_batch <= 32:
+                raise
+            base_batch //= 2
+    base_pairs = base_batch / base_time / n_chips
 
     print(json.dumps({
         "metric": "CLIPA ViT-L/16 pretrain (112px, 8 text tokens) "
@@ -177,11 +204,15 @@ def main():
             "batch": batch,
             "step_time_ms": round(step_time * 1e3, 2),
             "baseline_pairs_per_sec_chip": round(base_pairs, 2),
+            "baseline_batch": base_batch,
             "final_loss": round(loss, 4),
             "step_tflops": round(flops / 1e12, 2) if flops else None,
             "measured_matmul_peak_tflops":
                 round(peak / 1e12, 1) if peak else None,
             "mfu": round(mfu, 3) if mfu is not None else None,
+            "mfu_note": "total-flops/matmul-peak; >1.0 means elementwise "
+                        "VPU flops overlap the MXU - the matmul stream "
+                        "itself is saturated",
             "profiler_trace": trace_dir,
         },
     }))
