@@ -35,12 +35,21 @@ from clipa_tpu.parallel import mesh as mesh_lib
 def make_for_train(source: DataSource, pp_fn: Callable, batch_size: int,
                    *, shuffle_buffer: int = 50_000, seed: int = 0,
                    num_workers: int = 8, prefetch_batches: int = 2,
-                   batch_fn: Optional[Callable] = None) -> Iterator[dict]:
+                   batch_fn: Optional[Callable] = None,
+                   worker_processes: int = 0,
+                   pp_str: Optional[str] = None) -> Iterator[dict]:
     """Yields host-local numpy batches of size batch_size/process_count.
 
     batch_fn: optional transform applied to each *batched* dict (e.g.
     mixup/cutmix via `pp.augment.make_mixup_fn`) — the reference's `mix_fn`
     hook (clipa_jax/datasets/input_pipeline.py:38,64-65).
+
+    worker_processes: if >0 (requires `pp_str`, the pp-language string), the
+    pp map runs in a process pool instead of threads — full GIL bypass for
+    hosts where thread workers saturate (the role of the reference's
+    num_parallel_calls=100 TF C++ threads, input_pipeline.py:181-185).
+    Threads remain the default: PIL/libjpeg release the GIL, and processes
+    pay a pickle round-trip per sample.
     """
     local_bs = batch_size // jax.process_count()
 
@@ -52,8 +61,16 @@ def make_for_train(source: DataSource, pp_fn: Callable, batch_size: int,
             yield sample
 
     stream = _shuffle(sample_stream(), shuffle_buffer, seed)
-    stream = _map_threaded(stream, pp_fn, num_workers,
-                           prefetch=local_bs * prefetch_batches)
+    if worker_processes > 0:
+        if not pp_str:
+            raise ValueError("worker_processes requires pp_str (functions "
+                             "don't cross process boundaries; the pp string "
+                             "is rebuilt in each worker)")
+        stream = _map_processes(stream, pp_str, worker_processes,
+                                prefetch=local_bs * prefetch_batches)
+    else:
+        stream = _map_threaded(stream, pp_fn, num_workers,
+                               prefetch=local_bs * prefetch_batches)
     batches = _batch(stream, local_bs, drop_remainder=True)
     if batch_fn is not None:
         batches = map(batch_fn, batches)
@@ -144,6 +161,50 @@ def _map_threaded(stream: Iterator[dict], fn: Callable, num_workers: int,
             pool.shutdown(wait=False, cancel_futures=True)
         except Exception:
             pass  # interpreter teardown: thread module may be gone already
+
+
+_PP_WORKER_FN = None
+
+
+def _pp_worker_init(pp_str: str) -> None:
+    global _PP_WORKER_FN
+    from clipa_tpu.registry import get_preprocess_fn
+    _PP_WORKER_FN = get_preprocess_fn(pp_str)
+
+
+def _pp_worker_run(sample: dict) -> dict:
+    out = _PP_WORKER_FN(sample)
+    out.pop("_rng", None)
+    return out
+
+
+def _map_processes(stream: Iterator[dict], pp_str: str, num_procs: int,
+                   prefetch: int) -> Iterator[dict]:
+    """Ordered parallel map over a process pool (GIL-free pp).
+
+    Samples (numpy dicts + their seeded Generators) pickle across; the pp
+    function is rebuilt per worker from the pp-language string.
+    """
+    import multiprocessing
+    from concurrent.futures import ProcessPoolExecutor
+
+    ctx = multiprocessing.get_context("spawn")  # fork unsafe after jax init
+    pool = ProcessPoolExecutor(max_workers=num_procs, mp_context=ctx,
+                               initializer=_pp_worker_init,
+                               initargs=(pp_str,))
+    pending: collections.deque = collections.deque()
+    try:
+        for sample in stream:
+            pending.append(pool.submit(_pp_worker_run, sample))
+            while len(pending) >= prefetch:
+                yield pending.popleft().result()
+        while pending:
+            yield pending.popleft().result()
+    finally:
+        try:
+            pool.shutdown(wait=False, cancel_futures=True)
+        except Exception:
+            pass
 
 
 def _batch(stream: Iterator[dict], batch_size: int,

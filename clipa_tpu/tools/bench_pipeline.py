@@ -50,16 +50,17 @@ def make_jpeg_shards(root: str, n: int, jpeg_size: int,
 
 
 def measure(pattern: str, pp: str, num_workers: int, batch_size: int,
-            seconds: float, n_available: int) -> dict:
+            seconds: float, n_available: int, processes: bool = False) -> dict:
     from clipa_tpu.data import core as data_core
     from clipa_tpu.data import pipeline
     from clipa_tpu.registry import get_preprocess_fn
 
     source = data_core.TFRecordSource(pattern)
     pp_fn = get_preprocess_fn(pp)
+    kw = (dict(worker_processes=num_workers, pp_str=pp) if processes
+          else dict(num_workers=num_workers))
     it = pipeline.make_for_train(source, pp_fn, batch_size,
-                                 shuffle_buffer=1024, seed=0,
-                                 num_workers=num_workers)
+                                 shuffle_buffer=1024, seed=0, **kw)
     # warmup: one batch (thread spin-up, first decode)
     next(it)
     t0 = time.perf_counter()
@@ -68,7 +69,9 @@ def measure(pattern: str, pp: str, num_workers: int, batch_size: int,
         b = next(it)
         n += b["image"].shape[0]
     dt = time.perf_counter() - t0
-    return {"num_workers": num_workers, "samples_per_sec": round(n / dt, 1),
+    return {"num_workers": num_workers,
+            "mode": "processes" if processes else "threads",
+            "samples_per_sec": round(n / dt, 1),
             "batches": n // batch_size}
 
 
@@ -83,6 +86,8 @@ def main(argv=None):
                    help="pairs/sec/chip the train step consumes "
                         "(bench.py's headline value)")
     p.add_argument("--workers", type=str, default="0,2,4,8,16")
+    p.add_argument("--processes", action="store_true",
+                   help="use the process-pool pp map instead of threads")
     p.add_argument("--data-dir", type=str, default=None,
                    help="reuse/keep shards here instead of a temp dir")
     args = p.parse_args(argv)
@@ -111,7 +116,8 @@ def main(argv=None):
 
     results = []
     for w in [int(x) for x in args.workers.split(",")]:
-        r = measure(pattern, pp, w, args.batch_size, args.seconds, args.n)
+        r = measure(pattern, pp, w, args.batch_size, args.seconds, args.n,
+                    processes=args.processes and w > 0)
         results.append(r)
         print(json.dumps(r), flush=True)
 

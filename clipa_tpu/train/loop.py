@@ -63,6 +63,8 @@ def train(config: ConfigDict, workdir: Optional[str] = None) -> dict:
         shuffle_buffer=config.input.get("shuffle_buffer_size", 50_000),
         seed=config.get("seed", 0),
         num_workers=config.input.get("num_workers", 8),
+        worker_processes=config.input.get("worker_processes", 0),
+        pp_str=config.input.pp,
         batch_fn=batch_fn)
     train_iter = pipeline_lib.start_input_pipeline(
         batches, mesh, n_prefetch=config.get("prefetch_to_device", 2))

@@ -157,6 +157,32 @@ def test_shuffle_buffer_covers_all():
     assert out != list(range(100))  # actually shuffled
 
 
+def test_process_pool_pp_matches_threaded(shards):
+    """worker_processes pp map yields the same samples as the threaded map
+    (order preserved, per-sample rng semantics intact)."""
+    pp_str = 'keep("id")'
+    from clipa_tpu.registry import get_preprocess_fn
+    pp_fn = get_preprocess_fn(pp_str)
+
+    def run(**kw):
+        src = core.TFRecordSource(shards)
+        it = pipeline.make_for_train(src, pp_fn, batch_size=4,
+                                     shuffle_buffer=1, seed=0, **kw)
+        return [np.asarray(next(it)["id"]) for _ in range(3)]
+
+    threaded = run(num_workers=2)
+    procs = run(worker_processes=2, pp_str=pp_str)
+    for a, b in zip(threaded, procs):
+        np.testing.assert_array_equal(a, b)
+
+    import pytest
+    with pytest.raises(ValueError, match="pp_str"):
+        src = core.TFRecordSource(shards)
+        next(pipeline.make_for_train(src, pp_fn, batch_size=4,
+                                     shuffle_buffer=1, seed=0,
+                                     worker_processes=2))
+
+
 def test_device_prefetch(mesh8, shards):
     src = core.TFRecordSource(shards)
 
