@@ -36,7 +36,7 @@ Array = jax.Array
 def make_update_fn(model, tx, config, mesh) -> Callable:
     """Builds the donated, jitted update(train_state, batch) function."""
     mask_ratio = float(config.get("mask_ratio", 0.0))
-    loss_kind = config.get("loss", "softmax")  # "softmax" | "sigmoid" | "chunked"
+    loss_kind = config.get("loss", "softmax")  # softmax|sigmoid|chunked|ring
     normalize_on_device = bool(config.get("cpu_unit8", True))
     measure_block_norms = bool(config.get("log_block_norms", False))
     batch_sharding = mesh_lib.batch_sharding(mesh)
@@ -73,6 +73,10 @@ def make_update_fn(model, tx, config, mesh) -> Callable:
                 l, l_extras = infonce.chunked_contrastive_loss(
                     zimg, ztxt, extras["t"],
                     chunk_size=int(config.get("loss_chunk_size", 4096)))
+            elif loss_kind == "ring":
+                from clipa_tpu.ops import ring_infonce
+                l, l_extras = ring_infonce.ring_contrastive_loss(
+                    zimg, ztxt, extras["t"], mesh)
             else:
                 l, l_extras = losses_lib.bidirectional_contrastive_loss(
                     zimg, ztxt, extras["t"], reduction=True)
@@ -143,6 +147,10 @@ def make_update_fn(model, tx, config, mesh) -> Callable:
                     l, l_extras = infonce.chunked_contrastive_loss(
                         zimg, ztxt, extras["t"],
                         chunk_size=int(config.get("loss_chunk_size", 4096)))
+                elif loss_kind == "ring":
+                    from clipa_tpu.ops import ring_infonce
+                    l, l_extras = ring_infonce.ring_contrastive_loss(
+                        zimg, ztxt, extras["t"], mesh)
                 else:
                     l, l_extras = losses_lib.bidirectional_contrastive_loss(
                         zimg, ztxt, extras["t"], reduction=True)

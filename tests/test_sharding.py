@@ -199,3 +199,64 @@ def test_chunked_loss_equals_softmax_in_step(mesh8):
         losses[kind] = float(meas["training_loss"])
     np.testing.assert_allclose(losses["chunked"], losses["softmax"],
                                rtol=1e-5)
+
+
+def test_ring_infonce_equals_global(mesh8):
+    """Ring-permuted InfoNCE (shard_map + ppermute) must equal the global
+    bidirectional loss — values AND gradients — on the virtual mesh."""
+    from clipa_tpu import losses as losses_lib
+    from clipa_tpu.ops import ring_infonce
+    from clipa_tpu.parallel import batch_sharding
+
+    rng = np.random.RandomState(0)
+    b, d = 32, 16
+    zi = rng.randn(b, d).astype(np.float32)
+    zt = rng.randn(b, d).astype(np.float32)
+    zi /= np.linalg.norm(zi, axis=-1, keepdims=True)
+    zt /= np.linalg.norm(zt, axis=-1, keepdims=True)
+    t = np.asarray([1 / 0.07], np.float32)
+
+    sh = batch_sharding(mesh8)
+    zi_d = jax.device_put(jnp.asarray(zi), sh)
+    zt_d = jax.device_put(jnp.asarray(zt), sh)
+
+    def ring(zi, zt, t):
+        l, ex = ring_infonce.ring_contrastive_loss(zi, zt, t, mesh8)
+        return l, ex
+
+    def ref(zi, zt, t):
+        l, ex = losses_lib.bidirectional_contrastive_loss(
+            zi, zt, t, reduction=True)
+        return l, ex
+
+    (l_ring, ex_ring) = jax.jit(ring)(zi_d, zt_d, jnp.asarray(t))
+    (l_ref, ex_ref) = jax.jit(ref)(jnp.asarray(zi), jnp.asarray(zt),
+                                   jnp.asarray(t))
+    np.testing.assert_allclose(float(l_ring), float(l_ref), rtol=2e-6)
+    np.testing.assert_allclose(float(ex_ring["ncorrect"]),
+                               float(ex_ref["ncorrect"]), atol=1e-6)
+
+    g_ring = jax.jit(jax.grad(lambda *a: ring(*a)[0], argnums=(0, 1, 2)))(
+        zi_d, zt_d, jnp.asarray(t))
+    g_ref = jax.jit(jax.grad(lambda *a: ref(*a)[0], argnums=(0, 1, 2)))(
+        jnp.asarray(zi), jnp.asarray(zt), jnp.asarray(t))
+    for a, b_ in zip(g_ring, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=2e-5, atol=2e-6)
+
+
+def test_ring_loss_in_step(mesh8):
+    """loss='ring' trains end-to-end and matches the softmax step loss."""
+    model = _tiny_model()
+    batch = local_batch_to_global(_batch(16), mesh8)
+    losses = {}
+    for kind in ("softmax", "ring"):
+        config = _tiny_config(loss=kind)
+        tx, _ = optim.make(config, _abstract_params(model, config),
+                           sched_kw=dict(total_steps=10))
+        state = step_lib.init_train_state(model, tx, config, mesh8,
+                                          jax.random.PRNGKey(0))
+        update = step_lib.make_update_fn(model, tx, config, mesh8)
+        _, meas = update(state, batch)
+        losses[kind] = float(meas["training_loss"])
+    np.testing.assert_allclose(losses["ring"], losses["softmax"], rtol=1e-5)
