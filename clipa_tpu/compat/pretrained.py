@@ -30,6 +30,11 @@ _PRETRAINED = {
         "datacomp1b": "UCSC-VLAA/ViT-bigG-14-CLIPA-datacomp1B",
         "datacomp1b-336": "UCSC-VLAA/ViT-bigG-14-CLIPA-336-datacomp1B",
     },
+    # OpenAI CLIP releases (load via compat.openclip.load_openai_model or
+    # the HF-hub open_clip mirrors; quick_gelu configs)
+    "ViT-B-32-quickgelu": {"openai": "timm/vit_base_patch32_clip_224.openai"},
+    "ViT-B-16-quickgelu": {"openai": "timm/vit_base_patch16_clip_224.openai"},
+    "ViT-L-14-quickgelu": {"openai": "timm/vit_large_patch14_clip_224.openai"},
 }
 
 

@@ -332,3 +332,32 @@ def test_image_transform_train_jpeg():
                                  interpolation="bilinear")
     out = t(np.asarray(Image.open(io.BytesIO(buf.getvalue()))))
     assert out.shape == (3, 32, 32)
+
+
+def test_standard_vit_configs_build():
+    """Every standard (non-CLIPA) ViT config must construct a faithful
+    model: open_clip defaults (ln_pre, causal mask, eot pool, erf/quick
+    gelu) with the published widths/heads."""
+    for name in ["ViT-B-32", "ViT-B-16", "ViT-L-14", "ViT-H-14",
+                 "ViT-g-14", "ViT-bigG-14", "ViT-e-14",
+                 "ViT-B-32-quickgelu"]:
+        cfg = openclip.get_model_config(name)
+        tt = openclip._to_two_towers_cfg(cfg)
+        assert tt["image"]["ln_pre"] is True, name
+        assert tt["text"]["causal_mask"] is True, name
+        assert tt["text"]["pool_type"] == "eot", name
+        assert cfg["text_cfg"]["vocab_size"] == 49408, name
+        assert tt["image"]["width"] % tt["image"]["num_heads"] == 0, name
+    q = openclip._to_two_towers_cfg(
+        openclip.get_model_config("ViT-B-32-quickgelu"))
+    assert q["image"]["gelu_approx"] == "quick"
+    # mlp_ratio configs land exactly (bigG: 1664 * 4.9231 -> 8192)
+    big = openclip._to_two_towers_cfg(
+        openclip.get_model_config("ViT-bigG-14"))
+    assert big["image"]["mlp_dim"] == 8192
+    assert big["image"]["num_heads"] == 16  # 1664 / 104
+
+    # a small one actually initializes and runs
+    model = openclip.create_model("ViT-S-16", force_image_size=32)
+    z = model.encode_image(np.zeros((1, 32, 32, 3), np.float32))
+    assert z.shape == (1, 384)
