@@ -37,6 +37,13 @@ Array = jax.Array
 # the tiled online-softmax flash kernel.
 _FLASH_MIN_SEQ = 1024
 
+# Below this the fused kernel's (bq x L) score tiles starve the MXU and its
+# backward recompute loses to XLA's saved tiny score tensors. Measured on
+# the bench chip (fwd+bwd, batch 512): L=8 fused 2.41ms vs xla 1.86ms;
+# L=50 fused 4.06ms vs xla 7.85ms — crossover is between the text towers
+# (<=32 tokens) and the smallest image tower (50 tokens).
+_FUSED_MIN_SEQ = 33
+
 
 def _on_tpu() -> bool:
     try:
@@ -64,6 +71,7 @@ def multi_head_attention(q: Array, k: Array, v: Array, num_heads: int,
 
     if impl == "auto":
         if (_on_tpu() and q.shape == k.shape
+                and q.shape[1] >= _FUSED_MIN_SEQ
                 and block_attention.eligible(q.shape, num_heads, mask)):
             impl = "fused"
         elif (_on_tpu() and mask is None and q.shape[1] >= _FLASH_MIN_SEQ
