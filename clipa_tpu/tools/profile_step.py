@@ -21,39 +21,41 @@ import time
 
 
 def measure_matmul_peak(dtype_str: str = "bfloat16", n: int = 8192,
-                        iters: int = 10) -> float:
-    """Times an n^3 GEMM; returns TFLOP/s (int8 returns TOP/s)."""
+                        iters: int = 40) -> float:
+    """Times a chain of n^3 GEMMs in one dispatch; returns TFLOP/s (int8
+    returns TOP/s). Single-dispatch chaining matters: eager per-GEMM calls
+    through a remote relay understate the peak ~30% (see bench.py)."""
     import jax
     import jax.numpy as jnp
     import numpy as np
 
     if dtype_str == "int8":
-        a = jnp.asarray(np.random.randint(-127, 127, (n, n), np.int8))
-        b = jnp.asarray(np.random.randint(-127, 127, (n, n), np.int8))
+        a = jnp.asarray(np.random.randint(-2, 2, (n, n), np.int8))
 
         @jax.jit
-        def f(a, b):
-            return jax.lax.dot_general(
-                a, b, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.int32)
+        def chain(a, k):
+            def body(_, x):
+                acc = jax.lax.dot_general(
+                    a, x, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32)
+                return jnp.clip(acc, -2, 2).astype(jnp.int8)
+            return jax.lax.fori_loop(0, k, body, a, unroll=False)
     else:
         dt = jnp.bfloat16 if dtype_str == "bfloat16" else jnp.float32
         a = jnp.ones((n, n), dt)
-        b = jnp.ones((n, n), dt)
 
         @jax.jit
-        def f(a, b):
-            return jax.lax.dot_general(
-                a, b, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32).astype(dt)
+        def chain(a, k):
+            return jax.lax.fori_loop(
+                0, k, lambda _, x: ((a @ x) * 1e-4).astype(dt), a,
+                unroll=False)
 
-    f(a, b).block_until_ready()
+    float(jnp.sum(chain(a, 2).astype(jnp.float32)))  # warmup/compile
     t0 = time.perf_counter()
-    for _ in range(iters):
-        out = f(a, b)
-    out.block_until_ready()
-    dt_s = (time.perf_counter() - t0) / iters
-    return 2 * n**3 / dt_s / 1e12
+    r = chain(a, iters)
+    float(jnp.sum(r.astype(jnp.float32)))  # host transfer = reliable sync
+    dt_s = time.perf_counter() - t0
+    return 2 * n**3 * iters / dt_s / 1e12
 
 
 def main():
