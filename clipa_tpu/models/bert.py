@@ -211,7 +211,18 @@ def load(init_params, init_file, model_cfg=None, dont_load=()):
         restored = convert_hf_state_dict(
             {k: v.detach().numpy() for k, v in hf.state_dict().items()},
             depth, heads)
-    elif str(init_file).endswith((".pt", ".bin", ".safetensors")):
+    elif str(init_file).endswith(".safetensors"):
+        # torch.load cannot parse safetensors; go through the safetensors
+        # reader (numpy flavor — no torch tensors needed).
+        try:
+            from safetensors.numpy import load_file as _st_load
+            sd = _st_load(init_file)
+        except ImportError:
+            from safetensors.torch import load_file as _st_load_t
+            sd = {k: v.numpy() for k, v in _st_load_t(init_file).items()}
+        sd = {k.removeprefix("bert."): v for k, v in sd.items()}
+        restored = convert_hf_state_dict(sd, depth, heads)
+    elif str(init_file).endswith((".pt", ".bin")):
         import torch
         sd = torch.load(init_file, map_location="cpu", weights_only=True)
         sd = sd.get("state_dict", sd)

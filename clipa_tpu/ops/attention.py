@@ -81,6 +81,15 @@ def multi_head_attention(q: Array, k: Array, v: Array, num_heads: int,
             impl = "xla"
 
     if impl == "fused":
+        # Explicit impl="fused" must not silently drop a mask or hand an
+        # ineligible shape to the kernel (whose plan would be None).
+        if mask is not None:
+            raise ValueError("impl='fused' does not support masks; use "
+                             "impl='xla' (or 'auto') for masked attention.")
+        if not block_attention.eligible(q.shape, num_heads, mask):
+            raise ValueError(
+                f"impl='fused' ineligible for q.shape={q.shape}, "
+                f"num_heads={num_heads}; use impl='auto' to dispatch.")
         return block_attention.fused_attention(q, k, v, num_heads)
 
     b, l, d = q.shape

@@ -42,7 +42,18 @@ def chunked_contrastive_loss(zimg: Array, ztxt: Array, t: Array,
     """
     b = zimg.shape[0]
     if b % chunk_size:
+        requested = chunk_size
         chunk_size = _largest_divisor(b, chunk_size)
+        # A pathological batch (e.g. prime) can force a tiny fallback chunk;
+        # the loss would still be exact but up to ~100x slower (the scan runs
+        # B/chunk steps). Error rather than silently degrade.
+        if chunk_size * 4 < min(requested, b):
+            raise ValueError(
+                f"chunked_contrastive_loss: batch {b} has no divisor near "
+                f"the requested chunk_size {requested}; the largest is "
+                f"{chunk_size}, which would scan {b // chunk_size} chunks "
+                "(pathological slowdown). Pick a batch size with a divisor "
+                "close to loss_chunk_size.")
     t = jnp.asarray(t, jnp.float32).reshape(())
     loss, ncorrect = _chunked_loss(zimg.astype(jnp.float32),
                                    ztxt.astype(jnp.float32), t, chunk_size)

@@ -106,8 +106,13 @@ def _apply_op(img, name: str, level: float, rng):
                           fillcolor=_REPLACE)
     if name == "Posterize":
         # TF arg is bits *kept reduced to* int(level/10*4) — i.e. keep that
-        # many top bits (reference :235-238 with :543).
-        return ImageOps.posterize(img, max(1, int(level / _MAX_LEVEL * 4)))
+        # many top bits (reference :235-238 with :543). At low magnitude the
+        # TF op gets bits=0 and zeroes the image; PIL's posterize requires
+        # bits>=1, so reproduce bits=0 explicitly for exact parity.
+        bits = int(level / _MAX_LEVEL * 4)
+        if bits <= 0:
+            return Image.fromarray(np.zeros_like(np.asarray(img)))
+        return ImageOps.posterize(img, bits)
     if name == "Solarize":
         # invert pixels >= threshold; TF threshold grows with level (:544).
         return ImageOps.solarize(img, min(255, int(level / _MAX_LEVEL * 256)))

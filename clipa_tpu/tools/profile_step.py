@@ -95,8 +95,8 @@ def main():
         ca = ca[0]
     flops = float(ca.get("flops", 0.0)) if ca else 0.0
 
-    step_time, loss = bench_lib.time_steps(update, state, gbatch,
-                                           iters=args.iters)
+    step_time, loss, state = bench_lib.time_steps(update, state, gbatch,
+                                                  iters=args.iters)
     n_chips = jax.device_count()
     out = {
         "platform": jax.devices()[0].platform,

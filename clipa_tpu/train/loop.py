@@ -55,9 +55,14 @@ def train(config: ConfigDict, workdir: Optional[str] = None) -> dict:
     pp_fn = registry.get_preprocess_fn(config.input.pp)
     batch_fn = None
     if config.input.get("mixup"):
-        from clipa_tpu.pp import augment as augment_lib
-        batch_fn = augment_lib.make_mixup_fn(
-            seed=config.get("seed", 0), **dict(config.input.mixup))
+        # Every loss this trainer supports is contrastive; mixing images
+        # while captions stay unmixed silently corrupts the InfoNCE pairing
+        # (see pp/augment.py docstring). Mixup is for one-hot-label
+        # objectives — use make_mixup_fn directly in a custom loop.
+        raise ValueError(
+            "config.input.mixup is incompatible with contrastive losses "
+            f"(loss={config.get('loss', 'softmax')!r}): images would be "
+            "mixed while captions stay unmixed. Remove config.input.mixup.")
     batches = pipeline_lib.make_for_train(
         source, pp_fn, batch_size,
         shuffle_buffer=config.input.get("shuffle_buffer_size", 50_000),

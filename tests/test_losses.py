@@ -88,6 +88,14 @@ def test_chunked_gradients_equal_naive():
         np.testing.assert_allclose(gc, gn, rtol=1e-4, atol=1e-6)
 
 
+def test_chunked_prime_batch_raises():
+    # A prime batch forces fallback chunk 1 -> pathological scan; the loss
+    # must error loudly instead of silently training ~100x slower.
+    zimg, ztxt = _embeddings(b=23)
+    with pytest.raises(ValueError, match="no divisor near"):
+        infonce.chunked_contrastive_loss(zimg, ztxt, 5.0, chunk_size=16)
+
+
 def test_chunked_non_divisible_chunk():
     zimg, ztxt = _embeddings(b=24)
     naive, _ = losses.bidirectional_contrastive_loss(zimg, ztxt, 5.0,
