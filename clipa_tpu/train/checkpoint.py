@@ -19,6 +19,7 @@ from typing import Any, Optional
 import jax
 import numpy as np
 
+from clipa_tpu import pathio
 from clipa_tpu import utils as u
 
 
@@ -27,19 +28,21 @@ from clipa_tpu import utils as u
 # ---------------------------------------------------------------------------
 
 def npsave(data: Any, path: str) -> None:
-    """Atomic np.savez of a flat dict (tmp file + rename)."""
-    tmp = path + "-TEMPORARY"
-    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    """Atomic np.savez of a flat dict (tmp + rename), local or remote URL
+    (gs://... routes through fsspec; reference wrote these via gfile,
+    clipa_jax/helpers/utils.py:683-692)."""
     with io.BytesIO() as bio:
         np.savez(bio, **data)
-        bio.seek(0)
-        with open(tmp, "wb") as f:
-            f.write(bio.read())
-    os.replace(tmp, path)
+        pathio.write_bytes_atomic(path, bio.getvalue())
 
 
 def npload(path: str) -> dict:
-    checkpoint = np.load(path, allow_pickle=False)
+    if pathio.is_remote(path):
+        with pathio.open_file(path, "rb") as f:
+            buf = io.BytesIO(f.read())
+        checkpoint = np.load(buf, allow_pickle=False)
+    else:
+        checkpoint = np.load(path, allow_pickle=False)
     keys, values = zip(*list(checkpoint.items()))
     return dict(zip(keys, values))
 
@@ -91,11 +94,12 @@ def load_params(path: str, init_params: Any = None) -> Any:
     checkpoint containing a `params/` prefix.
     """
     key = None
-    if ":" in path and not path.startswith("gs:"):
+    if pathio.is_remote(path):
+        # scheme contributes one ':'; a second one marks a subtree key.
+        if path.count(":") > 1:
+            path, _, key = path.rpartition(":")
+    elif ":" in path:
         path, _, key = path.rpartition(":")
-    elif path.startswith("gs://") and path.count(":") > 1:
-        base, _, key = path.rpartition(":")
-        path = base
     tree = load_checkpoint(None, path)
     if "params" in tree and isinstance(tree["params"], dict) and \
             (not key or key.split("/")[0] not in tree):
@@ -149,8 +153,12 @@ class CheckpointManager:
 
     def __init__(self, directory: str, max_to_keep: int = 3):
         import orbax.checkpoint as ocp
+        # abspath would mangle a gs://... URL into /cwd/gs:/...; Orbax
+        # handles remote URLs natively (via etils.epath/tensorstore).
+        if not pathio.is_remote(directory):
+            directory = os.path.abspath(directory)
         self._mgr = ocp.CheckpointManager(
-            os.path.abspath(directory),
+            directory,
             options=ocp.CheckpointManagerOptions(
                 max_to_keep=max_to_keep, create=True,
                 enable_async_checkpointing=True),

@@ -27,6 +27,7 @@ import jax
 import jax.numpy as jnp
 
 from clipa_tpu import optim as optim_lib
+from clipa_tpu import pathio
 from clipa_tpu import registry
 from clipa_tpu import utils as u
 from clipa_tpu.config import ConfigDict, steps as steps_cfg
@@ -42,6 +43,24 @@ from clipa_tpu.train import step as step_lib
 def train(config: ConfigDict, workdir: Optional[str] = None) -> dict:
     """Runs the full training job; returns the final train state (host)."""
     write_note = print if jax.process_index() == 0 else (lambda *_: None)
+
+    # A remote workdir (gs://, s3://, file://) is staged on local disk and
+    # mirrored: pull-down before resume (rule-1, clipa_jax/main.py:404-414),
+    # push during/after training. Orbax writes, JSONL appends and profiler
+    # traces all run against the local stage.
+    remote_workdir = None
+    if workdir and pathio.is_remote(workdir):
+        from clipa_tpu.train import remote_sync as sync_lib
+        remote_workdir = workdir
+        workdir = pathio.stage_dir_for(remote_workdir,
+                                       config.get("local_stage_dir"))
+        os.makedirs(workdir, exist_ok=True)
+        write_note(f"Remote workdir {remote_workdir} staged at {workdir}")
+        if not sync_lib.pull(remote_workdir, workdir):
+            raise RuntimeError(
+                f"Failed to pull remote workdir {remote_workdir}; refusing "
+                "to train (a fresh start would silently discard the run's "
+                "checkpoints on the next push).")
 
     mesh = create_mesh(fsdp=int(config.get("fsdp", 1)))
     batch_size = config.input.batch_size
@@ -137,9 +156,10 @@ def train(config: ConfigDict, workdir: Optional[str] = None) -> dict:
     # workdir -> remote storage mirroring on the lead process
     # (reference: training/main.py:182-197 + file_utils.py:44-67)
     syncer = None
-    if workdir and config.get("remote_sync") and jax.process_index() == 0:
+    if workdir and (config.get("remote_sync") or remote_workdir) and \
+            jax.process_index() == 0:
         from clipa_tpu.train import remote_sync as sync_lib
-        rs = config.remote_sync
+        rs = config.get("remote_sync") or remote_workdir
         rs = dict(rs) if not isinstance(rs, str) else {"path": rs}
         syncer = sync_lib.SyncThread(
             workdir, rs["path"],

@@ -23,12 +23,16 @@ import threading
 import time
 from typing import Optional
 
-EXCLUDE_SUFFIXES = (".tmp", ".lock")
+EXCLUDE_SUFFIXES = (".tmp", ".lock", "-TEMPORARY")
+# In-flight Orbax checkpoint dirs: syncing them would mirror a torn step.
+EXCLUDE_DIR_MARKERS = ("orbax-checkpoint-tmp",)
 
 
 def _sync_local(local_dir: str, remote_dir: str) -> bool:
     remote_dir = remote_dir.removeprefix("file://")
-    for root, _, files in os.walk(local_dir):
+    for root, dirs, files in os.walk(local_dir):
+        dirs[:] = [d for d in dirs
+                   if not any(m in d for m in EXCLUDE_DIR_MARKERS)]
         rel = os.path.relpath(root, local_dir)
         dst_root = os.path.join(remote_dir, rel) if rel != "." else remote_dir
         os.makedirs(dst_root, exist_ok=True)
@@ -65,11 +69,43 @@ def _sync_cli(cmd: list[str]) -> bool:
 def sync(local_dir: str, remote_dir: str) -> bool:
     """One sync pass; returns success (reference file_utils.py:44-52)."""
     if remote_dir.startswith("s3://"):
-        return _sync_cli(["aws", "s3", "sync", local_dir, remote_dir])
+        return _sync_cli(["aws", "s3", "sync", local_dir, remote_dir,
+                          *_S3_EXCLUDES])
     if remote_dir.startswith("gs://"):
         return _sync_cli(["gsutil", "-m", "rsync", "-r",
-                          local_dir, remote_dir])
+                          "-x", _GS_EXCLUDE_RE, local_dir, remote_dir])
     return _sync_local(local_dir, remote_dir)
+
+
+_GS_EXCLUDE_RE = (r".*orbax-checkpoint-tmp.*|.*-TEMPORARY$"
+                  r"|.*\.tmp$|.*\.lock$")
+_S3_EXCLUDES = ["--exclude", "*orbax-checkpoint-tmp*",
+                "--exclude", "*-TEMPORARY",
+                "--exclude", "*.tmp", "--exclude", "*.lock"]
+
+
+def pull(remote_dir: str, local_dir: str) -> bool:
+    """Reverse sync: remote workdir -> local stage, run before resume so
+    rule-1 "always resume from the workdir checkpoint"
+    (clipa_jax/main.py:404-414) holds across pod restarts with a remote
+    workdir. Missing remote (fresh run) is success, not an error."""
+    if remote_dir.startswith("s3://"):
+        return _sync_cli(["aws", "s3", "sync", remote_dir, local_dir])
+    if remote_dir.startswith("gs://"):
+        # rsync fails on a nonexistent source bucket path; probe first.
+        probe = subprocess.run(["gsutil", "ls", remote_dir],
+                               stdout=subprocess.PIPE,
+                               stderr=subprocess.PIPE)
+        if probe.returncode:
+            return True
+        os.makedirs(local_dir, exist_ok=True)
+        return _sync_cli(["gsutil", "-m", "rsync", "-r",
+                          remote_dir, local_dir])
+    src = remote_dir.removeprefix("file://")
+    if not os.path.isdir(src):
+        return True
+    os.makedirs(local_dir, exist_ok=True)
+    return _sync_local(src, local_dir)
 
 
 class SyncThread:
