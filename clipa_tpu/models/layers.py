@@ -31,9 +31,14 @@ Dtype = Any
 
 
 class DropPath(nn.Module):
-    """Stochastic depth: drops the entire residual branch per sample."""
+    """Stochastic depth: drops the entire residual branch per sample.
+
+    With `seq_len` set the input is the flat (B*L, D) residual stream;
+    the per-SAMPLE drop mask is repeated across each sample's rows.
+    """
 
     rate: float = 0.0
+    seq_len: Optional[int] = None
 
     @nn.compact
     def __call__(self, x: Array, deterministic: bool = True) -> Array:
@@ -41,8 +46,13 @@ class DropPath(nn.Module):
             return x
         keep = 1.0 - self.rate
         rng = self.make_rng("drop_path")
-        shape = (x.shape[0],) + (1,) * (x.ndim - 1)
-        mask = jax.random.bernoulli(rng, keep, shape)
+        if x.ndim == 2 and self.seq_len:
+            b = x.shape[0] // self.seq_len
+            mask = jax.random.bernoulli(rng, keep, (b, 1))
+            mask = jnp.repeat(mask, self.seq_len, axis=0)
+        else:
+            shape = (x.shape[0],) + (1,) * (x.ndim - 1)
+            mask = jax.random.bernoulli(rng, keep, shape)
         return jnp.where(mask, x / keep, 0.0)
 
 
@@ -61,6 +71,8 @@ class MultiHeadAttention(nn.Module):
     dtype: Optional[Dtype] = None
     attn_impl: str = "auto"  # "auto" | "xla" | "pallas"
     quant: Optional[str] = None  # None | "int8"
+    # Static sequence length when the inputs are the flat (B*L, D) stream.
+    seq_len: Optional[int] = None
 
     @nn.compact
     def __call__(self, inputs_q: Array, inputs_kv: Array,
@@ -84,7 +96,7 @@ class MultiHeadAttention(nn.Module):
                     self.use_bias, dtype, self.quant, name="value")(inputs_kv)
 
         y = multi_head_attention(q, k, v, self.num_heads, mask=mask,
-                                 impl=self.attn_impl)
+                                 impl=self.attn_impl, seq_len=self.seq_len)
 
         return _ProjOut(d_model, self.num_heads, head_dim,
                         self.out_kernel_init, self.use_bias,
@@ -231,6 +243,8 @@ class EncoderBlock(nn.Module):
     gelu_approx: Any = True
     # flax/big_vision default 1e-6; torch/open_clip checkpoints use 1e-5.
     ln_eps: float = 1e-6
+    # Set when x is the flat (B*L, D) residual stream (see Encoder).
+    seq_len: Optional[int] = None
 
     @nn.compact
     def __call__(self, x: Array, deterministic: bool = True,
@@ -244,9 +258,11 @@ class EncoderBlock(nn.Module):
             dtype=self.dtype,
             attn_impl=self.attn_impl,
             quant=self.quant,
+            seq_len=self.seq_len,
             name="MultiHeadDotProductAttention_0")(y, y, mask=mask)
         y = nn.Dropout(rate=self.dropout)(y, deterministic)
-        y = DropPath(rate=self.drop_path)(y, deterministic)
+        y = DropPath(rate=self.drop_path, seq_len=self.seq_len)(
+            y, deterministic)
         x = x + y
 
         y = nn.LayerNorm(epsilon=self.ln_eps, dtype=self.dtype,
@@ -257,7 +273,8 @@ class EncoderBlock(nn.Module):
                      gelu_approx=self.gelu_approx,
                      name="MlpBlock_0")(y, deterministic)
         y = nn.Dropout(rate=self.dropout)(y, deterministic)
-        y = DropPath(rate=self.drop_path)(y, deterministic)
+        y = DropPath(rate=self.drop_path, seq_len=self.seq_len)(
+            y, deterministic)
         return x + y
 
 
@@ -291,6 +308,18 @@ class Encoder(nn.Module):
             block_cls = nn.remat(EncoderBlock, prevent_cse=True,
                                  policy=policy, static_argnums=(2,))
 
+        # Unmasked encoders run the residual stream FLAT (B*L, D): every
+        # block op is token-wise except attention (which takes seq_len), so
+        # no 3D tensor exists between here and the exit reshape — XLA then
+        # has no 3D intermediate to assign an L-major layout to, and the
+        # Pallas attention boundary needs no transposing copies (~10 GB/step
+        # at the flagship L/16@112 shape; r2's partial 2D attempt failed
+        # precisely because the kernel still took 3D operands).
+        seq = None
+        if mask is None and x.ndim == 3:
+            n, seq, d = x.shape
+            x = x.reshape(n * seq, d)
+
         dpr = np.linspace(0.0, self.drop_path, self.depth)
         for i in range(self.depth):
             extra = self.block_init_fn(i) if self.block_init_fn else {}
@@ -304,8 +333,11 @@ class Encoder(nn.Module):
                 quant=self.quant,
                 gelu_approx=self.gelu_approx,
                 ln_eps=self.ln_eps,
+                seq_len=seq,
                 name=f"encoderblock_{i}",
                 **extra)(x, deterministic, mask)
+        if seq is not None:
+            x = x.reshape(n, seq, d)
         return x
 
 

@@ -54,20 +54,48 @@ def _on_tpu() -> bool:
 
 def multi_head_attention(q: Array, k: Array, v: Array, num_heads: int,
                          mask: Optional[Array] = None,
-                         impl: str = "auto") -> Array:
-    """Multi-head attention over packed (B, L, D) operands.
+                         impl: str = "auto",
+                         seq_len: Optional[int] = None) -> Array:
+    """Multi-head attention over packed (B, L, D) or flat (B*L, D) operands.
 
     Args:
-      q, k, v: (B, L, D) arrays, D = num_heads * head_dim.
+      q, k, v: (B, L, D) arrays, D = num_heads * head_dim — or flat
+        (B*L, D) arrays with `seq_len` set (row i belongs to sample
+        i // seq_len). The flat form keeps the encoder's residual stream
+        2D end to end, which is what prevents XLA from assigning L-major
+        layouts to 3D intermediates and paying transposing copies at every
+        Pallas kernel boundary (~10 GB/step at the flagship shape).
       num_heads: head count.
       mask: optional boolean (B, 1|H, Lq, Lk); True = attend. Masked
         attention always uses the XLA path.
       impl: "auto" | "fused" | "xla" | "pallas".
+      seq_len: static sequence length; required iff operands are 2D.
 
     Returns:
-      (B, Lq, D) array in q's dtype.
+      array of q's shape and dtype.
     """
     from clipa_tpu.ops import block_attention
+
+    if q.ndim == 2:
+        if seq_len is None:
+            raise ValueError("2D operands require seq_len")
+        rows, d = q.shape
+        if impl in ("auto", "fused") and _on_tpu() \
+                and q.shape == k.shape and seq_len >= _FUSED_MIN_SEQ \
+                and block_attention.eligible_2d(rows, d, num_heads,
+                                                seq_len, mask):
+            return block_attention.fused_attention_2d(q, k, v, num_heads,
+                                                      seq_len)
+        # Fallback: reshape to (B, L, D) and use the 3D dispatch. Off-TPU
+        # (tests) and masked/short-sequence paths land here; the reshape is
+        # a bitcast under default layouts.
+        b = rows // seq_len
+        out = multi_head_attention(
+            q.reshape(b, seq_len, d),
+            k.reshape(k.shape[0] // seq_len, seq_len, k.shape[-1]),
+            v.reshape(v.shape[0] // seq_len, seq_len, v.shape[-1]),
+            num_heads, mask=mask, impl=impl)
+        return out.reshape(rows, d)
 
     if impl == "auto":
         if (_on_tpu() and q.shape == k.shape

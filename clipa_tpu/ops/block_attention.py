@@ -242,3 +242,208 @@ def _fused_bwd(num_heads, res, do):
 
 
 fused_attention.defvjp(_fused_fwd, _fused_bwd)
+
+
+# ---------------------------------------------------------------------------
+# 2D-operand variant: the whole residual stream stays (B*L, D)
+# ---------------------------------------------------------------------------
+#
+# Why a second kernel: at the flagship pretrain shape (bf16[512, 50, 1024])
+# XLA's layout assignment holds 3D intermediates L-major (the {2,1,0} default
+# would sublane-pad 50 -> 64 in HBM), but a Pallas custom call requires the
+# default layout on its operands — so every 3D kernel boundary costs a
+# transposing copy (~10 GB/step, 192 copies, measured r2/r3). With 2D
+# (B·L, D) operands AND a 2D residual stream in the encoder, no 3D tensor
+# exists anywhere between patchify and pooling, leaving XLA nothing to
+# re-lay-out.
+#
+# Kernel structure (measured trade, bench chip): each program owns `group`
+# full samples; per head it computes ONE (G·L, G·L) score dot over all of
+# them and masks the off-block-diagonal (cross-sample) pairs. The exact
+# per-sample alternative — slicing each sample's L rows out of the slab —
+# needs sublane-misaligned slices whenever L % 8 != 0 (CLIPA's L=50), which
+# measured 2x slower, and its G·H-way Python unroll OOMed the XLA compile
+# service at 24 encoder instances. The masked form keeps the unroll at H
+# segments (same as the 3D kernel), all loads tile-aligned, and MXU-shaped
+# (G·L, hd) dots, at the cost of G x score FLOPs — attention scores are
+# <1% of a CLIPA step, and G is capped where the waste stays negligible.
+# The backward needs no cross-program dK/dV accumulation at all (the
+# q-tile spans the whole sequence; CLIPA sequences are short by design,
+# SURVEY §5.7).
+
+_MAX_GROUP_2D = 8
+
+
+def _plan_2d(batch: int, seq: int, d_model: int, num_heads: int, bwd: bool):
+    """Returns the per-program sample group G, or None if nothing fits."""
+    def fits(g):
+        n = g * seq
+        slabs = (4 if not bwd else 7) * n * d_model * 2 * 2
+        # live fp32 (n, n) score temps: s/p (+dp/ds in bwd) + iota mask
+        temps = (3 if not bwd else 5) * n * n * 4
+        budget = _VMEM_BUDGET_BWD if bwd else _VMEM_BUDGET_FWD
+        return slabs + temps < budget
+    for g in (8, 4, 2, 1):
+        # Mosaic block constraint: second-minor block dim must be 8-divisible
+        # (unless it equals the array dim). The g x score-FLOP waste is the
+        # masked-dot trade; bounded by _MAX_GROUP_2D.
+        if batch % g or (g * seq) % 8 or g > _MAX_GROUP_2D:
+            continue
+        if fits(g):
+            return g
+    return None
+
+
+def eligible_2d(rows: int, d_model: int, num_heads: int, seq: int,
+                mask) -> bool:
+    """Whether the 2D fused kernel can run for (rows=B*L, D) operands."""
+    if mask is not None or rows % seq:
+        return False
+    hd = d_model // num_heads
+    if hd * num_heads != d_model or hd % 8:
+        return False
+    batch = rows // seq
+    # Forward plan gates dispatch (same policy as `eligible`): when the
+    # backward doesn't fit, the VJP falls back to XLA einsum math.
+    return _plan_2d(batch, seq, d_model, num_heads, bwd=False) is not None
+
+
+def _block_diag_mask(n: int, seq: int):
+    """(n, n) bool: True where rows/cols belong to the same sample."""
+    row = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+    return (row // seq) == (col // seq)
+
+
+def _masked_softmax(s, same):
+    s = jnp.where(same, s, -jnp.inf)
+    s = s - jnp.max(s, axis=-1, keepdims=True)
+    e = jnp.exp(s)
+    return e / jnp.sum(e, axis=-1, keepdims=True)
+
+
+def _fwd2d_kernel(q_ref, k_ref, v_ref, o_ref, *, num_heads: int, seq: int,
+                  group: int, scale: float):
+    hd = q_ref.shape[-1] // num_heads
+    same = _block_diag_mask(group * seq, seq)
+    for h in range(num_heads):
+        sl = slice(h * hd, (h + 1) * hd)
+        qh = q_ref[:, sl].astype(jnp.float32) * scale        # (G*L, hd)
+        kh = k_ref[:, sl].astype(jnp.float32)
+        s = jax.lax.dot_general(qh, kh, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        p = _masked_softmax(s, same)                         # (G*L, G*L)
+        vh = v_ref[:, sl]
+        o = jax.lax.dot_general(p.astype(vh.dtype), vh,
+                                (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        o_ref[:, sl] = o.astype(o_ref.dtype)
+
+
+def _bwd2d_kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref, *,
+                  num_heads: int, seq: int, group: int, scale: float):
+    hd = q_ref.shape[-1] // num_heads
+    f32 = jnp.float32
+    same = _block_diag_mask(group * seq, seq)
+    for h in range(num_heads):
+        sl = slice(h * hd, (h + 1) * hd)
+        qh = q_ref[:, sl].astype(f32) * scale
+        kh = k_ref[:, sl].astype(f32)
+        vh = v_ref[:, sl].astype(f32)
+        doh = do_ref[:, sl].astype(f32)
+
+        s = jax.lax.dot_general(qh, kh, (((1,), (1,)), ((), ())),
+                                preferred_element_type=f32)
+        p = _masked_softmax(s, same)                          # (G*L, G*L)
+        dp = jax.lax.dot_general(doh, vh, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=f32)
+        # masked entries have p == 0, so ds == 0 there: the cross-sample
+        # blocks contribute nothing to dq/dk/dv (exactness preserved).
+        ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+
+        dq = jax.lax.dot_general(ds, kh, (((1,), (0,)), ((), ())),
+                                 preferred_element_type=f32) * scale
+        dk = jax.lax.dot_general(ds, qh, (((0,), (0,)), ((), ())),
+                                 preferred_element_type=f32)
+        dv = jax.lax.dot_general(p, doh, (((0,), (0,)), ((), ())),
+                                 preferred_element_type=f32)
+        dq_ref[:, sl] = dq.astype(dq_ref.dtype)
+        dk_ref[:, sl] = dk.astype(dk_ref.dtype)
+        dv_ref[:, sl] = dv.astype(dv_ref.dtype)
+
+
+def _call_fwd_2d(q, k, v, num_heads, seq):
+    rows, d = q.shape
+    batch = rows // seq
+    g = _plan_2d(batch, seq, d, num_heads, bwd=False)
+    if g is None:  # no 8-divisible group fits: XLA einsum math instead
+        return _xla_reference_2d(q, k, v, num_heads, seq)
+    scale = (d // num_heads) ** -0.5
+    spec = pl.BlockSpec((g * seq, d), lambda i: (i, 0),
+                        memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_fwd2d_kernel, num_heads=num_heads, seq=seq,
+                          group=g, scale=scale),
+        grid=(batch // g,),
+        in_specs=[spec, spec, spec],
+        out_specs=spec,
+        out_shape=jax.ShapeDtypeStruct((rows, d), q.dtype),
+        interpret=_interpret(),
+    )(q, k, v)
+
+
+def _xla_reference_2d(q, k, v, num_heads, seq):
+    rows, d = q.shape
+    b = rows // seq
+    out = _xla_reference(q.reshape(b, seq, d), k.reshape(b, seq, d),
+                         v.reshape(b, seq, d), num_heads)
+    return out.reshape(rows, d)
+
+
+def _call_bwd_2d(q, k, v, do, num_heads, seq):
+    rows, d = q.shape
+    batch = rows // seq
+    g = _plan_2d(batch, seq, d, num_heads, bwd=True)
+    if g is None:
+        _, vjp = jax.vjp(
+            lambda q, k, v: _xla_reference_2d(q, k, v, num_heads, seq),
+            q, k, v)
+        return vjp(do)
+    scale = (d // num_heads) ** -0.5
+    spec = pl.BlockSpec((g * seq, d), lambda i: (i, 0),
+                        memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_bwd2d_kernel, num_heads=num_heads, seq=seq,
+                          group=g, scale=scale),
+        grid=(batch // g,),
+        in_specs=[spec, spec, spec, spec],
+        out_specs=(spec, spec, spec),
+        out_shape=(jax.ShapeDtypeStruct((rows, d), q.dtype),
+                   jax.ShapeDtypeStruct((rows, d), k.dtype),
+                   jax.ShapeDtypeStruct((rows, d), v.dtype)),
+        interpret=_interpret(),
+    )(q, k, v, do)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def fused_attention_2d(q: Array, k: Array, v: Array, num_heads: int,
+                       seq: int) -> Array:
+    """Multi-head self-attention over flat (B*L, D) operands.
+
+    Row i belongs to sample i // seq. Math identical to `fused_attention`
+    (and the XLA einsum path); the flat operand layout is what keeps the
+    encoder's residual stream free of 3D layout copies.
+    """
+    return _call_fwd_2d(q, k, v, num_heads, seq)
+
+
+def _fused2d_fwd(q, k, v, num_heads, seq):
+    return _call_fwd_2d(q, k, v, num_heads, seq), (q, k, v)
+
+
+def _fused2d_bwd(num_heads, seq, res, do):
+    q, k, v = res
+    return _call_bwd_2d(q, k, v, do, num_heads, seq)
+
+
+fused_attention_2d.defvjp(_fused2d_fwd, _fused2d_bwd)

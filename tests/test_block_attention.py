@@ -105,3 +105,83 @@ def test_packed_layout_matches_4d_path():
     np.testing.assert_allclose(np.asarray(packed),
                                np.asarray(legacy.reshape(b, l, d)),
                                atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# 2D-operand kernel (flat residual stream)
+# ---------------------------------------------------------------------------
+
+SHAPES_2D = [
+    (8, 50, 16, 64),   # flagship pretrain shape (plans G=4/8)
+    (8, 37, 8, 16),    # odd L with G=8 (8*L always 8-divisible)
+    (4, 37, 8, 16),    # no 8-divisible group -> XLA fallback path
+]
+
+
+@pytest.mark.parametrize("b,l,h,hd", SHAPES_2D)
+def test_fused2d_forward_matches_xla(b, l, h, hd):
+    d = h * hd
+    rng = np.random.RandomState(2)
+    q = jnp.asarray(rng.randn(b * l, d), jnp.float32)
+    k = jnp.asarray(rng.randn(b * l, d), jnp.float32)
+    v = jnp.asarray(rng.randn(b * l, d), jnp.float32)
+    with jax.default_matmul_precision("highest"):
+        ref = attention.multi_head_attention(
+            q.reshape(b, l, d), k.reshape(b, l, d), v.reshape(b, l, d),
+            h, impl="xla").reshape(b * l, d)
+        out = block_attention.fused_attention_2d(q, k, v, h, l)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
+
+
+@pytest.mark.parametrize("b,l,h,hd", SHAPES_2D)
+def test_fused2d_grads_match_xla(b, l, h, hd):
+    d = h * hd
+    rng = np.random.RandomState(3)
+    q = jnp.asarray(rng.randn(b * l, d), jnp.float32)
+    k = jnp.asarray(rng.randn(b * l, d), jnp.float32)
+    v = jnp.asarray(rng.randn(b * l, d), jnp.float32)
+
+    def ref_fn(q, k, v):
+        o = attention.multi_head_attention(
+            q.reshape(b, l, d), k.reshape(b, l, d), v.reshape(b, l, d),
+            h, impl="xla")
+        return (o.astype(jnp.float32) ** 2).sum()
+
+    def fused_fn(q, k, v):
+        o = block_attention.fused_attention_2d(q, k, v, h, l)
+        return (o.astype(jnp.float32) ** 2).sum()
+
+    with jax.default_matmul_precision("highest"):
+        g_ref = jax.grad(ref_fn, argnums=(0, 1, 2))(q, k, v)
+        g_out = jax.grad(fused_fn, argnums=(0, 1, 2))(q, k, v)
+    for a, b_ in zip(g_out, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   atol=3e-4, rtol=3e-4)
+
+
+def test_fused2d_matches_3d_kernel():
+    b, l, h, hd = 4, 50, 8, 32
+    d = h * hd
+    rng = np.random.RandomState(4)
+    q = jnp.asarray(rng.randn(b, l, d), jnp.float32)
+    k = jnp.asarray(rng.randn(b, l, d), jnp.float32)
+    v = jnp.asarray(rng.randn(b, l, d), jnp.float32)
+    with jax.default_matmul_precision("highest"):
+        o3 = block_attention.fused_attention(q, k, v, h)
+        o2 = block_attention.fused_attention_2d(
+            q.reshape(b * l, d), k.reshape(b * l, d), v.reshape(b * l, d),
+            h, l)
+    np.testing.assert_allclose(np.asarray(o2), np.asarray(o3.reshape(b * l, d)),
+                               atol=2e-5, rtol=2e-5)
+
+
+def test_eligible_2d():
+    # flagship pretrain shape
+    assert block_attention.eligible_2d(512 * 50, 1024, 16, 50, None)
+    # masked -> no
+    assert not block_attention.eligible_2d(512 * 50, 1024, 16, 50, object())
+    # rows not a multiple of seq -> no
+    assert not block_attention.eligible_2d(512 * 50 + 1, 1024, 16, 50, None)
+    # head_dim not a multiple of 8 -> no
+    assert not block_attention.eligible_2d(8 * 50, 36, 3, 50, None)
