@@ -24,7 +24,8 @@ import numpy as np
 def build_step(dtype_str: str, batch: int, res: int = 112, tokens: int = 8,
                variant: str = "L/16", mu_dtype: str = None,
                remat: str = "none", quant: str = None,
-               attn_impl: str = "auto"):
+               attn_impl: str = "auto", optax_name: str = "scale_by_adam",
+               norm_metrics: str = "log", **extra_config):
     import jax
     import jax.numpy as jnp
     from clipa_tpu import optim
@@ -46,14 +47,16 @@ def build_step(dtype_str: str, batch: int, res: int = 112, tokens: int = 8,
               "attn_impl": attn_impl},
         out_dim=(out_dim, out_dim), temperature_init=1 / 0.07, dtype=dtype)
 
-    config = ConfigDict(
-        lr=8e-6 * 64, wd=0.2, optax_name="scale_by_adam",
+    config_kw = dict(
+        lr=8e-6 * 64, wd=0.2, optax_name=optax_name,
         optax=dict(b1=0.9, b2=0.95,
                    **({"mu_dtype": mu_dtype} if mu_dtype else {})),
         schedule=[(".*", dict(decay_type="cosine", warmup_steps=100))],
         init_shapes=[(1, res, res, 3), (1, tokens)],
-        mask_ratio=0.0, cpu_unit8=True,
+        mask_ratio=0.0, cpu_unit8=True, norm_metrics=norm_metrics,
     )
+    config_kw.update(extra_config)
+    config = ConfigDict(**config_kw)
 
     mesh = create_mesh(fsdp=1)
     abstract = jax.eval_shape(

@@ -80,6 +80,101 @@ def create_learning_rate_schedule(total_steps: int, batch_size=None,
     return schedule
 
 
+def scale_by_fused_adam(b1: float = 0.9, b2: float = 0.999,
+                        eps: float = 1e-8, mu_dtype=None, nu_dtype=None,
+                        small_leaf_elems: int = 2 ** 18):
+    """Adam direction with flat-grouped moments for small leaves.
+
+    Numerics are identical to ``optax.scale_by_adam`` (up to the storage
+    dtype of the moments); what changes is the kernel count. A ViT-L two-
+    tower tree has ~587 leaves, ~370 of which are tiny (biases, norms,
+    scalars) — each costs a fixed per-fusion dispatch (~7 us measured on
+    v5e) while carrying negligible HBM traffic. Large leaves (>=
+    ``small_leaf_elems``) keep per-leaf moments (they are HBM-roofline
+    bound; flat-grouping THEM is 4x slower — the concat/slice
+    materialization doubles their traffic, measured). Small leaves share
+    one flat moment buffer per group and are updated by a single fused
+    kernel: concat tax on a few MB is noise, launch savings are not.
+
+    ``mu_dtype``/``nu_dtype`` cast moment STORAGE (arithmetic stays f32),
+    the reference's H/14 memory lever (clipa_jax/optim/build_optax.py
+    mu_dtype) extended to the second moment.
+    """
+    mu_dtype = jnp.dtype(mu_dtype) if mu_dtype else None
+    nu_dtype = jnp.dtype(nu_dtype) if nu_dtype else None
+
+    def _classify(tree):
+        """Returns (leaves, treedef, big_idx, small_idx) — deterministic
+        from shapes, so init and update agree."""
+        leaves, treedef = jax.tree_util.tree_flatten(tree)
+        big, small = [], []
+        for i, leaf in enumerate(leaves):
+            if not hasattr(leaf, "size"):  # optax.MaskedNode etc.
+                continue
+            (small if leaf.size < small_leaf_elems else big).append(i)
+        return leaves, treedef, big, small
+
+    def init(params):
+        leaves, _, big, small = _classify(params)
+        zeros = lambda l, dt: jnp.zeros(l.shape, dt or jnp.float32)
+        flat_n = sum(leaves[i].size for i in small)
+        state = {
+            "count": jnp.zeros((), jnp.int32),
+            "mu": [zeros(leaves[i], mu_dtype) for i in big],
+            "nu": [zeros(leaves[i], nu_dtype) for i in big],
+            "mu_flat": jnp.zeros((flat_n,), mu_dtype or jnp.float32),
+            "nu_flat": jnp.zeros((flat_n,), nu_dtype or jnp.float32),
+        }
+        return state
+
+    def _adam(g, mu0, nu0, c):
+        g = g.astype(jnp.float32)
+        mu = b1 * mu0.astype(jnp.float32) + (1 - b1) * g
+        nu = b2 * nu0.astype(jnp.float32) + (1 - b2) * g * g
+        mhat = mu / (1 - b1 ** c)
+        nuhat = nu / (1 - b2 ** c)
+        upd = mhat / (jnp.sqrt(nuhat) + eps)
+        return upd, mu.astype(mu_dtype or jnp.float32), \
+            nu.astype(nu_dtype or jnp.float32)
+
+    def update(updates, state, params=None):
+        del params
+        leaves, treedef, big, small = _classify(updates)
+        count = state["count"] + 1
+        c = count.astype(jnp.float32)
+        out = list(leaves)
+
+        new_mu, new_nu = [], []
+        for k, i in enumerate(big):
+            upd, m, v = _adam(leaves[i], state["mu"][k], state["nu"][k], c)
+            out[i] = upd.astype(leaves[i].dtype)
+            new_mu.append(m)
+            new_nu.append(v)
+
+        if small:
+            gflat = jnp.concatenate([leaves[i].ravel() for i in small])
+            upd, mf, vf = _adam(gflat, state["mu_flat"], state["nu_flat"], c)
+            off = 0
+            for i in small:
+                n = leaves[i].size
+                out[i] = jax.lax.dynamic_slice_in_dim(upd, off, n).reshape(
+                    leaves[i].shape).astype(leaves[i].dtype)
+                off += n
+        else:
+            mf, vf = state["mu_flat"], state["nu_flat"]
+
+        new_state = {"count": count, "mu": new_mu, "nu": new_nu,
+                     "mu_flat": mf, "nu_flat": vf}
+        return jax.tree_util.tree_unflatten(treedef, out), new_state
+
+    return optax.GradientTransformation(init, update)
+
+
+# optax_name values resolved locally before falling back to the optax
+# namespace (config compat: reference configs say e.g. "scale_by_adam").
+_LOCAL_TX = {"scale_by_fused_adam": scale_by_fused_adam}
+
+
 def make(config: Any, params: Any, *, sched_kw: dict):
     """Returns (optax gradient transform, list of schedule fns)."""
     schedule = config.schedule
@@ -103,10 +198,15 @@ def make(config: Any, params: Any, *, sched_kw: dict):
                      not_frozen_mask)
         if config.get("grad_clip_norm") else optax.identity())
 
-    tx_func = operator.attrgetter(config.get("optax_name", "scale_by_adam"))(optax)
+    tx_name = config.get("optax_name", "scale_by_adam")
+    tx_func = _LOCAL_TX.get(tx_name) or operator.attrgetter(tx_name)(optax)
     optax_kw = dict(config.get("optax", {}))
-    if "mu_dtype" in optax_kw and isinstance(optax_kw["mu_dtype"], str):
-        optax_kw["mu_dtype"] = jnp.dtype(optax_kw["mu_dtype"])
+    for k in ("mu_dtype", "nu_dtype"):
+        if k in optax_kw and isinstance(optax_kw[k], str):
+            optax_kw[k] = jnp.dtype(optax_kw[k])
+    if tx_func is not scale_by_fused_adam:
+        optax_kw.pop("nu_dtype", None)
+        optax_kw.pop("small_leaf_elems", None)
     opt_txs = [optax.masked(tx_func(**optax_kw), not_frozen_mask)]
 
     lr_mult_txs = [optax.scale(config.lr)]

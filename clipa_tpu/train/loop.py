@@ -131,7 +131,8 @@ def train(config: ConfigDict, workdir: Optional[str] = None) -> dict:
     n_params = sum(x.size for x in jax.tree_util.tree_leaves(state["params"]))
     write_note(f"Model has {n_params / 1e6:.1f}M params")
 
-    update_fn = step_lib.make_update_fn(model, tx, config, mesh)
+    update_fn = step_lib.make_update_fn(model, tx, config, mesh,
+                                        total_steps=total_steps)
     predict_fn = step_lib.make_predict_fn(
         model, normalize=bool(config.get("cpu_unit8", True)))
 

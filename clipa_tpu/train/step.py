@@ -33,12 +33,25 @@ from clipa_tpu.parallel import mesh as mesh_lib
 Array = jax.Array
 
 
-def make_update_fn(model, tx, config, mesh) -> Callable:
-    """Builds the donated, jitted update(train_state, batch) function."""
+def make_update_fn(model, tx, config, mesh, total_steps: int = 0) -> Callable:
+    """Builds the donated, jitted update(train_state, batch) function.
+
+    total_steps (when known) lets the gated norm metrics fire on the final
+    step too, matching utils.itstime's `last` rule.
+    """
     mask_ratio = float(config.get("mask_ratio", 0.0))
     loss_kind = config.get("loss", "softmax")  # softmax|sigmoid|chunked|ring
     normalize_on_device = bool(config.get("cpu_unit8", True))
     measure_block_norms = bool(config.get("log_block_norms", False))
+    # The l2_{grads,params,updates} norms cost 3 full-tree reduction passes
+    # (~5 GB HBM reads on ViT-L) but are only CONSUMED at the log cadence
+    # (train/loop.py reads measurements under `itstime`). "log" computes
+    # them under lax.cond only on steps the logger will read (zeros
+    # otherwise); "always" restores the reference's every-step behavior
+    # (clipa_jax/main.py:290-294 computed them in every pmap step because
+    # pmap could not gate); "never" omits the keys.
+    norm_metrics = config.get("norm_metrics", "log")  # log|always|never
+    log_steps = int(config.get("log_training_steps", 50))
     batch_sharding = mesh_lib.batch_sharding(mesh)
 
     accum_steps = int(config.get("grad_accum_steps", 1))
@@ -181,9 +194,24 @@ def make_update_fn(model, tx, config, mesh) -> Callable:
         params = optax.apply_updates(params, updates)
 
         measurements["training_loss"] = l
-        measurements["l2_grads"] = optax.global_norm(grads)
-        measurements["l2_params"] = optax.global_norm(params)
-        measurements["l2_updates"] = optax.global_norm(updates)
+        if norm_metrics != "never":
+            def _norms(_):
+                return (optax.global_norm(grads), optax.global_norm(params),
+                        optax.global_norm(updates))
+            if norm_metrics == "always":
+                l2g, l2p, l2u = _norms(None)
+            else:
+                # `step` here is pre-increment; the loop logs this batch as
+                # step+1 (utils.itstime: first, last, every log_steps).
+                logged = step + 1
+                due = ((logged % log_steps == 0) | (logged == 1)
+                       | (logged == total_steps))
+                zero = jnp.zeros((), jnp.float32)
+                l2g, l2p, l2u = jax.lax.cond(
+                    due, _norms, lambda _: (zero, zero, zero), None)
+            measurements["l2_grads"] = l2g
+            measurements["l2_params"] = l2p
+            measurements["l2_updates"] = l2u
         if measure_block_norms:
             measurements.update(_block_norms(grads, config))
 

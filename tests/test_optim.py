@@ -162,3 +162,50 @@ def test_replace_frozen():
     out = optim.replace_frozen(schedule, params, 0.0)
     assert out["t"] == 0.0
     assert isinstance(out["img"]["head"]["kernel"], jnp.ndarray)
+
+
+def test_fused_adam_matches_optax():
+    """scale_by_fused_adam == optax.scale_by_adam exactly (f32 moments),
+    over several steps, with leaves on both sides of the size threshold."""
+    key = jax.random.PRNGKey(0)
+    params = {
+        "big": jax.random.normal(key, (64, 32)),       # >= threshold 1024
+        "small_a": jax.random.normal(key, (7,)),
+        "small_b": jax.random.normal(key, (3, 5)),
+        "scalar": jnp.float32(0.3),
+    }
+    ref = optax.scale_by_adam(b1=0.9, b2=0.95, eps=1e-8)
+    fused = optim.scale_by_fused_adam(b1=0.9, b2=0.95, eps=1e-8,
+                                      small_leaf_elems=1024)
+    s_ref, s_fused = ref.init(params), fused.init(params)
+    for i in range(4):
+        grads = jax.tree_util.tree_map(
+            lambda p: jax.random.normal(jax.random.fold_in(key, i), p.shape)
+            if hasattr(p, "shape") else jnp.float32(0.1), params)
+        u_ref, s_ref = ref.update(grads, s_ref)
+        u_fused, s_fused = fused.update(grads, s_fused)
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_allclose(a, b, rtol=2e-6,
+                                                    atol=1e-7),
+            u_ref, u_fused)
+    assert int(s_fused["count"]) == 4
+
+
+def test_fused_adam_through_factory():
+    """optax_name=scale_by_fused_adam works through make(): full chain,
+    wd applied, state round-trips, get_count reads the schedule count."""
+    params = _params()
+    cfg = _base_config(
+        lr=0.1, wd=0.01, optax_name="scale_by_fused_adam",
+        optax=dict(b1=0.9, b2=0.95, mu_dtype="bfloat16",
+                   small_leaf_elems=64),
+        schedule=[(".*", dict(decay_type="cosine", warmup_steps=2))])
+    tx, _ = optim.make(cfg, params, sched_kw=dict(total_steps=100))
+    state = tx.init(params)
+    grads = jax.tree_util.tree_map(jnp.ones_like, params)
+    for _ in range(3):
+        updates, state = tx.update(grads, state, params)
+        params = optax.apply_updates(params, updates)
+    assert optim.get_count(state) == 3
+    assert all(np.isfinite(x).all()
+               for x in jax.tree_util.tree_leaves(params))
