@@ -18,7 +18,7 @@ from __future__ import annotations
 import functools
 import json
 import os
-from typing import Callable, Optional
+from typing import Callable, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -48,6 +48,56 @@ def get_model_config(name: str) -> dict:
         return json.load(f)
 
 
+# timm trunk name -> convnext stage spec (timm convnext.py model registry;
+# referenced by the convnext_* JSONs via vision_cfg.timm_model_name).
+_TIMM_CONVNEXT = {
+    "convnext_tiny": dict(dims=(96, 192, 384, 768), depths=(3, 3, 9, 3)),
+    "convnext_small": dict(dims=(96, 192, 384, 768), depths=(3, 3, 27, 3)),
+    "convnext_base": dict(dims=(128, 256, 512, 1024), depths=(3, 3, 27, 3)),
+    "convnext_large": dict(dims=(192, 384, 768, 1536), depths=(3, 3, 27, 3)),
+    "convnext_xlarge": dict(dims=(256, 512, 1024, 2048),
+                            depths=(3, 3, 27, 3)),
+    "convnext_xxlarge": dict(dims=(384, 768, 1536, 3072),
+                             depths=(3, 4, 30, 3)),
+}
+
+
+def _timm_vision_cfg(v: dict) -> Tuple[str, dict]:
+    """Maps vision_cfg.timm_model_name to (image_model, image kwargs).
+
+    Covers the timm trunks the reference config zoo actually names:
+    convnext_* (clipa_torch/open_clip/timm_model.py adapter: trunk + GAP +
+    linear/mlp proj — our convnext tower IS trunk+GAP+head) and
+    vit_medium_patch16_gap_256 (ViT-M/16, gap pool, no class token ->
+    closest native equivalent is our gap-pooled ViT). Swin/relpos trunks
+    would need new towers and raise.
+    """
+    name = v["timm_model_name"]
+    if name in _TIMM_CONVNEXT:
+        image = dict(
+            variant=None,
+            **_TIMM_CONVNEXT[name],
+            drop_path=float(v.get("timm_drop_path") or 0.0),
+            dropout=float(v.get("timm_drop") or 0.0),
+            # timm convnext default ls_init_value=1e-6
+            layer_scale_init_value=1e-6,
+            head_mlp=v.get("timm_proj", "linear") == "mlp",
+        )
+        return "convnext", image
+    if name == "vit_medium_patch16_gap_256":
+        image = dict(
+            variant=None, width=512, depth=12, num_heads=8, mlp_dim=2048,
+            patch_size=(16, 16), pool_type="gap", posemb="learn",
+            ln_pre=False, gelu_approx=False, ln_eps=1e-6,
+            drop_path=float(v.get("timm_drop_path") or 0.0),
+        )
+        return "vit", image
+    raise NotImplementedError(
+        f"timm vision trunk {name!r} has no native tower here (supported: "
+        f"{sorted(_TIMM_CONVNEXT)} + ['vit_medium_patch16_gap_256']); "
+        "swin/resnet/relpos trunks are declared non-goals (SURVEY.md §7).")
+
+
 def _to_two_towers_cfg(cfg: dict, *, image_size=None, pos_embed=None) -> dict:
     """open_clip JSON fields -> clipa_tpu.models.two_towers kwargs.
 
@@ -60,6 +110,13 @@ def _to_two_towers_cfg(cfg: dict, *, image_size=None, pos_embed=None) -> dict:
     # OpenAI CLIP models use QuickGELU everywhere (model.py:452-515 passes
     # quick_gelu=True through build_model_from_openai_state_dict)
     quick = bool(cfg.get("quick_gelu"))
+    image_model = "vit"
+    if "timm_model_name" in v:
+        image_model, image = _timm_vision_cfg(v)
+        text = _text_tower_cfg(t, quick)
+        return dict(image=image, text=text, image_model=image_model,
+                    out_dim=(cfg["embed_dim"], cfg["embed_dim"]),
+                    temperature_init=1 / 0.07)
     vision_pool_style = v.get("pool_style", "open_clip")
     if vision_pool_style == "big_vision_gap":
         img_pool = "gap"           # mean over patch tokens, then ln_post
@@ -69,8 +126,6 @@ def _to_two_towers_cfg(cfg: dict, *, image_size=None, pos_embed=None) -> dict:
         img_pool = "gap_all"       # open_clip gap: mean incl. cls token
     else:
         img_pool = "tok"           # open_clip cls pooling == tok numerically
-    text_pool = {"big_vision_last": "last", "big_vision_tok": "tok",
-                 "open_clip": "eot"}[t.get("pool_style", "open_clip")]
     width = v["width"]
     head_width = v.get("head_width", 64)
     image = dict(
@@ -87,8 +142,18 @@ def _to_two_towers_cfg(cfg: dict, *, image_size=None, pos_embed=None) -> dict:
         gelu_approx="quick" if quick else
         (v.get("gelu_approximate", "none") == "tanh"),
         ln_eps=1e-5,  # torch nn.LayerNorm default — the compat surface
+        ls_init=v.get("ls_init_value"),  # LayerScale (e.g. ViT-M-16-alt)
     )
-    text = dict(
+    text = _text_tower_cfg(t, quick)
+    return dict(image=image, text=text,
+                out_dim=(cfg["embed_dim"], cfg["embed_dim"]),
+                temperature_init=1 / 0.07)
+
+
+def _text_tower_cfg(t: dict, quick: bool) -> dict:
+    text_pool = {"big_vision_last": "last", "big_vision_tok": "tok",
+                 "open_clip": "eot"}[t.get("pool_style", "open_clip")]
+    return dict(
         variant=None,
         width=t["width"],
         depth=t["layers"],
@@ -101,9 +166,6 @@ def _to_two_towers_cfg(cfg: dict, *, image_size=None, pos_embed=None) -> dict:
         (t.get("gelu_approximate", "none") == "tanh"),
         ln_eps=1e-5,  # torch nn.LayerNorm default — the compat surface
     )
-    return dict(image=image, text=text,
-                out_dim=(cfg["embed_dim"], cfg["embed_dim"]),
-                temperature_init=1 / 0.07)
 
 
 class CLIPModel:

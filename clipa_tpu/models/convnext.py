@@ -87,6 +87,9 @@ class _Model(nn.Module):
     dropout: float = 0.0
     drop_path: float = 0.0
     head_zeroinit: bool = False
+    # timm_proj="mlp" (open_clip timm_model.py Mlp head: hidden 2*embed_dim,
+    # GELU, used by convnext_large_d): Dense(2*nc) -> gelu -> Dense(nc).
+    head_mlp: bool = False
     remat_policy: str = "none"
     dtype: Optional[Any] = None
 
@@ -129,6 +132,11 @@ class _Model(nn.Module):
         if self.num_classes:
             init = (nn.initializers.zeros if self.head_zeroinit
                     else nn.initializers.normal(stddev=dims[-1] ** -0.5))
+            if self.head_mlp:
+                x = nn.Dense(2 * self.num_classes, kernel_init=init,
+                             dtype=dtype, param_dtype=jnp.float32,
+                             name="head_mlp_fc")(x)
+                x = jax.nn.gelu(x, approximate=False)
             x = nn.Dense(self.num_classes, kernel_init=init, dtype=dtype,
                          param_dtype=jnp.float32, name="head")(x)
             out["logits"] = x

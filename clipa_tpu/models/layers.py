@@ -243,8 +243,19 @@ class EncoderBlock(nn.Module):
     gelu_approx: Any = True
     # flax/big_vision default 1e-6; torch/open_clip checkpoints use 1e-5.
     ln_eps: float = 1e-6
+    # LayerScale (open_clip ResidualAttentionBlock ls_1/ls_2 when
+    # vision_cfg.ls_init_value is set): per-branch learned (D,) gain,
+    # applied before DropPath. None disables (no params created).
+    ls_init: Optional[float] = None
     # Set when x is the flat (B*L, D) residual stream (see Encoder).
     seq_len: Optional[int] = None
+
+    def _layer_scale(self, name: str, y: Array) -> Array:
+        if self.ls_init is None:
+            return y
+        gamma = self.param(name, nn.initializers.constant(self.ls_init),
+                           (y.shape[-1],), jnp.float32)
+        return y * gamma.astype(y.dtype)
 
     @nn.compact
     def __call__(self, x: Array, deterministic: bool = True,
@@ -260,6 +271,7 @@ class EncoderBlock(nn.Module):
             quant=self.quant,
             seq_len=self.seq_len,
             name="MultiHeadDotProductAttention_0")(y, y, mask=mask)
+        y = self._layer_scale("ls1", y)
         y = nn.Dropout(rate=self.dropout)(y, deterministic)
         y = DropPath(rate=self.drop_path, seq_len=self.seq_len)(
             y, deterministic)
@@ -272,6 +284,7 @@ class EncoderBlock(nn.Module):
                      dtype=self.dtype, quant=self.quant,
                      gelu_approx=self.gelu_approx,
                      name="MlpBlock_0")(y, deterministic)
+        y = self._layer_scale("ls2", y)
         y = nn.Dropout(rate=self.dropout)(y, deterministic)
         y = DropPath(rate=self.drop_path, seq_len=self.seq_len)(
             y, deterministic)
@@ -298,6 +311,7 @@ class Encoder(nn.Module):
     quant: Optional[str] = None
     gelu_approx: Any = True
     ln_eps: float = 1e-6
+    ls_init: Optional[float] = None
 
     @nn.compact
     def __call__(self, x: Array, deterministic: bool = True,
@@ -333,6 +347,7 @@ class Encoder(nn.Module):
                 quant=self.quant,
                 gelu_approx=self.gelu_approx,
                 ln_eps=self.ln_eps,
+                ls_init=self.ls_init,
                 seq_len=seq,
                 name=f"encoderblock_{i}",
                 **extra)(x, deterministic, mask)

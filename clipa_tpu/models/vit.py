@@ -118,6 +118,8 @@ class _Model(nn.Module):
     gelu_approx: Any = True  # True=tanh, False=erf, "quick"=QuickGELU
     # LayerNorm epsilon: flax/big_vision 1e-6, torch/open_clip 1e-5
     ln_eps: float = 1e-6
+    # LayerScale init (open_clip vision_cfg.ls_init_value); None = off
+    ls_init: Optional[float] = None
 
     @nn.compact
     def __call__(self, image: Array, *, train: bool = False,
@@ -176,6 +178,7 @@ class _Model(nn.Module):
             remat_policy=self.remat_policy, dtype=dtype,
             attn_impl=self.attn_impl, quant=self.quant,
             gelu_approx=self.gelu_approx, ln_eps=self.ln_eps,
+            ls_init=self.ls_init,
             name="Transformer")(x, not train)
         out["encoded"] = x
 

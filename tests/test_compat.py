@@ -361,3 +361,79 @@ def test_standard_vit_configs_build():
     model = openclip.create_model("ViT-S-16", force_image_size=32)
     z = model.encode_image(np.zeros((1, 32, 32, 3), np.float32))
     assert z.shape == (1, 384)
+
+
+def test_variant_vit_configs_build():
+    """The plus/alt/hi-res ViT variants map to faithful tower configs
+    (reference clipa_torch/open_clip/model_configs/ViT-*-{plus,alt,280,320})."""
+    expect = {  # name -> (embed_dim, vision width, patch, image_size)
+        "ViT-S-32": (384, 384, 32, 224),
+        "ViT-S-32-alt": (256, 384, 32, 224),
+        "ViT-S-16-alt": (256, 384, 16, 224),
+        "ViT-M-32": (512, 512, 32, 224),
+        "ViT-M-32-alt": (384, 512, 32, 224),
+        "ViT-M-16-alt": (384, 512, 16, 224),
+        "ViT-B-16-plus": (640, 896, 16, 224),
+        "ViT-B-32-plus-256": (640, 896, 32, 256),
+        "ViT-L-14-280": (768, 1024, 14, 280),
+        "ViT-L-16-320": (768, 1024, 16, 320),
+    }
+    for name, (embed, width, patch, size) in expect.items():
+        cfg = openclip.get_model_config(name)
+        tt = openclip._to_two_towers_cfg(cfg)
+        assert cfg["embed_dim"] == embed, name
+        assert tt["image"]["width"] == width, name
+        assert tt["image"]["patch_size"] == (patch, patch), name
+        assert cfg["vision_cfg"]["image_size"] == size, name
+    # ls_init_value (ViT-M-16-alt) must reach the tower config
+    tt = openclip._to_two_towers_cfg(openclip.get_model_config("ViT-M-16-alt"))
+    assert tt["image"]["ls_init"] == 1e-4
+
+
+def test_layer_scale_params_and_effect():
+    """ls_init creates per-block ls1/ls2 (D,) gains initialized to the
+    configured value; at init they scale both residual branches."""
+    model = openclip.create_model("ViT-S-16-alt")  # no layer scale
+    assert "ls1" not in str(jax.tree_util.tree_structure(model.params))
+    model_ls = openclip.create_model("ViT-M-16-alt")
+    blocks = model_ls.params["img"]["Transformer"]
+    g = blocks["encoderblock_0"]["ls1"]
+    assert g.shape == (512,)
+    np.testing.assert_allclose(np.asarray(g), 1e-4)
+
+
+def test_convnext_configs_build_and_encode():
+    """convnext_* configs resolve through the timm-name mapping onto the
+    native ConvNeXt tower (reference: open_clip timm adapter
+    clipa_torch/open_clip/timm_model.py:34-84 — trunk + GAP + proj)."""
+    names = ["convnext_tiny", "convnext_small", "convnext_base",
+             "convnext_base_w", "convnext_base_w_320", "convnext_large",
+             "convnext_large_d", "convnext_xlarge", "convnext_xxlarge",
+             "convnext_xxlarge_320"]
+    dims0 = {"convnext_tiny": 96, "convnext_small": 96, "convnext_base": 128,
+             "convnext_base_w": 128, "convnext_base_w_320": 128,
+             "convnext_large": 192, "convnext_large_d": 192,
+             "convnext_xlarge": 256, "convnext_xxlarge": 384,
+             "convnext_xxlarge_320": 384}
+    for name in names:
+        cfg = openclip.get_model_config(name)
+        tt = openclip._to_two_towers_cfg(cfg)
+        assert tt["image_model"] == "convnext", name
+        assert tt["image"]["dims"][0] == dims0[name], name
+    # mlp proj only for the _d variant
+    assert openclip._to_two_towers_cfg(
+        openclip.get_model_config("convnext_large_d"))["image"]["head_mlp"]
+    assert not openclip._to_two_towers_cfg(
+        openclip.get_model_config("convnext_base"))["image"]["head_mlp"]
+    # the smallest one actually runs end to end
+    model = openclip.create_model("convnext_tiny")
+    z = model.encode_image(
+        np.random.default_rng(0).random((1, 224, 224, 3), np.float32))
+    assert z.shape == (1, 1024)
+    np.testing.assert_allclose(np.linalg.norm(np.asarray(z)), 1.0, rtol=1e-4)
+
+
+def test_unsupported_timm_trunk_raises():
+    with pytest.raises(NotImplementedError, match="swin"):
+        openclip._timm_vision_cfg({"timm_model_name":
+                                   "swin_base_patch4_window7_224"})
