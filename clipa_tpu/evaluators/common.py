@@ -39,9 +39,17 @@ def from_config(config: Any, predict_fns: dict[str, Callable],
     evaluators = []
     specs = dict(config.get("evals", {}))
     for name, cfg in specs.items():
-        if not isinstance(cfg, dict):
+        # Accept any mapping-like (our ConfigDict, ml_collections.ConfigDict
+        # — which is neither a dict subclass nor registered as a Mapping —
+        # plain dict): users coming from the reference write evals with
+        # ml_collections; silently skipping those configs was a trap.
+        if not hasattr(cfg, "items"):
+            if cfg is not None:
+                raise TypeError(
+                    f"config.evals.{name} must be a mapping (got "
+                    f"{type(cfg).__name__})")
             continue
-        cfg = dict(cfg)
+        cfg = dict(cfg.items())
         module_name = cfg.pop("type", name)
         module = importlib.import_module(
             _TYPE_ALIASES.get(module_name, module_name))

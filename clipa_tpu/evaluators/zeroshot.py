@@ -45,6 +45,47 @@ from clipa_tpu.evaluators import prompts
 from clipa_tpu.parallel import mesh as mesh_lib
 
 
+def build_prompts(names, templates):
+    """(class names, templates) -> (texts, owner) prompt lists.
+
+    Classes may carry comma-separated aliases: every (alias, template) pair
+    contributes one prompt owned by the class; the class embedding is the
+    mean over all of them (reference discriminative_classifier.py:155-171
+    averages template embeddings per class name the same way).
+    """
+    texts, owner = [], []
+    for ci, name in enumerate(names):
+        for alias in [a.strip() for a in name.split(",") if a.strip()]:
+            for tpl in templates:
+                texts.append(tpl.format(alias))
+                owner.append(ci)
+    return texts, owner
+
+
+def shard_host_prompts(texts, owner, nproc: int, pidx: int, local_bs: int,
+                       pp_txt_fn):
+    """One host's contiguous, padded share of the prompt set.
+
+    Every host pads its slice to the same `per_host` length (a multiple of
+    its local batch) so all hosts step the same jit program the same number
+    of times; `mask` zeroes the padding out of the accumulation. Tested at
+    1000-class x 81-template cardinality in tests/test_evaluators.py.
+    """
+    total = len(texts)
+    base = -(-total // nproc)                       # ceil per host
+    per_host = -(-base // local_bs) * local_bs      # same on all hosts
+    lo, hi = pidx * base, min((pidx + 1) * base, total)
+    tokens = np.zeros((per_host,) + tuple(
+        pp_txt_fn({"texts": texts[0]})["labels"].shape), np.int32)
+    owner_loc = np.zeros((per_host,), np.int32)
+    mask_loc = np.zeros((per_host,), np.int32)
+    for j, gi in enumerate(range(lo, hi)):
+        tokens[j] = pp_txt_fn({"texts": texts[gi]})["labels"]
+        owner_loc[j] = owner[gi]
+        mask_loc[j] = 1
+    return tokens, owner_loc, mask_loc
+
+
 class Evaluator:
     def __init__(self, predict_fn: Callable, mesh, *, batch_size: int = 256,
                  dataset_names: Sequence[str] = ("imagenet2012",),
@@ -122,14 +163,7 @@ class Evaluator:
         names, templates = ds["class_names"], ds["templates"]
         n_class = len(names)
 
-        # Classes may carry comma-separated aliases: every (alias, template)
-        # pair contributes one prompt; the class embedding is the mean.
-        texts, owner = [], []
-        for ci, name in enumerate(names):
-            for alias in [a.strip() for a in name.split(",") if a.strip()]:
-                for tpl in templates:
-                    texts.append(tpl.format(alias))
-                    owner.append(ci)
+        texts, owner = build_prompts(names, templates)
 
         # Shard the prompt set contiguously across processes: each host
         # tokenizes only its share (the reference shards class names per
@@ -140,22 +174,12 @@ class Evaluator:
             raise ValueError(f"eval batch_size {self.batch_size} must "
                              f"divide process count {nproc}")
         local_bs = self.batch_size // nproc
-        total = len(texts)
-        base = -(-total // nproc)                       # ceil per host
-        per_host = -(-base // local_bs) * local_bs      # same on all hosts
-        lo, hi = pidx * base, min((pidx + 1) * base, total)
-        tokens = np.zeros((per_host,) + tuple(
-            self.pp_txt_fn({"texts": texts[0]})["labels"].shape), np.int32)
-        owner_loc = np.zeros((per_host,), np.int32)
-        mask_loc = np.zeros((per_host,), np.int32)
-        for j, gi in enumerate(range(lo, hi)):
-            tokens[j] = self.pp_txt_fn({"texts": texts[gi]})["labels"]
-            owner_loc[j] = owner[gi]
-            mask_loc[j] = 1
+        tokens, owner_loc, mask_loc = shard_host_prompts(
+            texts, owner, nproc, pidx, local_bs, self.pp_txt_fn)
 
         z = np.zeros((n_class, 0), np.float32)  # resized on first batch
         counts = np.zeros((n_class,), np.int64)
-        for i in range(0, per_host, local_bs):
+        for i in range(0, len(tokens), local_bs):
             batch = mesh_lib.local_batch_to_global(
                 {"labels": tokens[i:i + local_bs],
                  "owner": owner_loc[i:i + local_bs],

@@ -186,3 +186,180 @@ def test_retrieval_evaluator(trained_tiny):
     results = dict(ev.run(params))
     for k in ("img2txt/Recall@1", "txt2img/Recall@10"):
         assert 0 <= results[k] <= 1
+
+
+# ---------------------------------------------------------------------------
+# Scale-realistic zero-shot protocol: 1000 classes x 81 templates, with
+# comma-aliases, simulated multi-host prompt sharding, and the IN-A subset
+# restriction — the owner/padding bookkeeping proven at cardinality against
+# a naive single-host reference (reference protocol:
+# discriminative_classifier.py:121-171,303-312).
+# ---------------------------------------------------------------------------
+
+def _fake_tokenize(sample):
+    """Deterministic 'tokenizer': 16 int32 tokens hashed from the text."""
+    text = sample["texts"]
+    h = np.frombuffer(text.encode()[:64].ljust(64, b"\0"), np.uint8)
+    rng = np.random.default_rng(int(h.astype(np.uint64).sum()))
+    return {"labels": rng.integers(0, 30000, size=(16,), dtype=np.int64)
+            .astype(np.int32)}
+
+
+def _fake_embed(tokens):
+    """Deterministic 'text tower': embedding from token values (no params)."""
+    t = np.asarray(tokens, np.float64)
+    d = 32
+    freqs = np.arange(1, d + 1)[None, None, :]
+    z = np.sin(t[:, :, None] * freqs / 997.0).sum(axis=1)
+    return (z / (np.linalg.norm(z, axis=-1, keepdims=True) + 1e-8)).astype(
+        np.float32)
+
+
+def _naive_class_embeddings(names, templates):
+    """Single-host, no-sharding, no-padding reference implementation."""
+    n_class = len(names)
+    z = np.zeros((n_class, 32), np.float64)
+    counts = np.zeros((n_class,), np.int64)
+    for ci, name in enumerate(names):
+        for alias in [a.strip() for a in name.split(",") if a.strip()]:
+            for tpl in templates:
+                tok = _fake_tokenize({"texts": tpl.format(alias)})["labels"]
+                z[ci] += _fake_embed(tok[None])[0]
+                counts[ci] += 1
+    z /= np.maximum(counts, 1)[:, None]
+    z /= np.linalg.norm(z, axis=-1, keepdims=True) + 1e-8
+    return z.astype(np.float32), counts
+
+
+@pytest.mark.parametrize("nproc,local_bs", [(1, 256), (4, 64), (3, 128)])
+def test_zeroshot_prompt_sharding_at_cardinality(nproc, local_bs):
+    from clipa_tpu.evaluators import zeroshot
+
+    templates = prompts.get_prompt_templates("clip_paper")
+    assert len(templates) == 81
+    # 1000 classes; every 7th carries a comma alias (uneven prompt counts —
+    # the case the per-host padding/owner logic must survive).
+    names = [f"class {i}" + (f", alias {i}" if i % 7 == 0 else "")
+             for i in range(1000)]
+
+    texts, owner = zeroshot.build_prompts(names, templates)
+    n_alias = sum(1 for i in range(1000) if i % 7 == 0)
+    assert len(texts) == (1000 + n_alias) * 81
+
+    ref_z, ref_counts = None, None  # computed once per session below
+
+    # Simulate every host: each tokenizes only its contiguous share, embeds
+    # in local batches, and the accumulations are merged exactly as the
+    # replicated-output path merges them (np.add.at over owner, masked).
+    n_class = len(names)
+    z = np.zeros((n_class, 32), np.float64)
+    counts = np.zeros((n_class,), np.int64)
+    seen = []
+    per_host_lens = set()
+    for pidx in range(nproc):
+        tokens, ow, mask = zeroshot.shard_host_prompts(
+            texts, owner, nproc, pidx, local_bs, _fake_tokenize)
+        per_host_lens.add(len(tokens))
+        assert len(tokens) % local_bs == 0
+        for i in range(0, len(tokens), local_bs):
+            ztxt = _fake_embed(tokens[i:i + local_bs])
+            m = mask[i:i + local_bs].astype(bool)
+            np.add.at(z, ow[i:i + local_bs][m], ztxt[m].astype(np.float64))
+            counts += np.bincount(ow[i:i + local_bs][m], minlength=n_class)
+        seen.append(mask.sum())
+    # same padded length on every host (all hosts step the same program)
+    assert len(per_host_lens) == 1
+    # every prompt consumed exactly once across hosts, none duplicated
+    assert sum(seen) == len(texts)
+
+    z /= np.maximum(counts, 1)[:, None]
+    z /= np.linalg.norm(z, axis=-1, keepdims=True) + 1e-8
+
+    ref_z, ref_counts = _naive_class_embeddings(names, templates)
+    # per-class prompt counts: 81, or 162 for aliased classes
+    np.testing.assert_array_equal(counts, ref_counts)
+    assert set(counts) == {81, 162}
+    np.testing.assert_allclose(z.astype(np.float32), ref_z, atol=2e-6)
+
+
+def test_zeroshot_subset_restriction_remaps():
+    """IN-A style evaluation restricts the classifier to the subset and
+    the naive and sharded paths agree on the restricted matrix."""
+    from clipa_tpu.evaluators import zeroshot
+
+    subset = prompts.get_label_subset("imagenet_a")
+    assert subset is not None and len(subset) == 200
+    names_full = [f"thing {i}" for i in range(1000)]
+    names = [names_full[i] for i in subset]
+    templates = prompts.get_prompt_templates("clip_paper")[:3]
+
+    texts, owner = zeroshot.build_prompts(names, templates)
+    assert len(texts) == 200 * 3
+    assert max(owner) == 199  # owners index the RESTRICTED classifier
+
+    tokens, ow, mask = zeroshot.shard_host_prompts(
+        texts, owner, 1, 0, 100, _fake_tokenize)
+    z = np.zeros((200, 32), np.float64)
+    counts = np.zeros((200,), np.int64)
+    for i in range(0, len(tokens), 100):
+        ztxt = _fake_embed(tokens[i:i + 100])
+        m = mask[i:i + 100].astype(bool)
+        np.add.at(z, ow[i:i + 100][m], ztxt[m].astype(np.float64))
+        counts += np.bincount(ow[i:i + 100][m], minlength=200)
+    assert (counts == 3).all()
+    z /= counts[:, None]
+    z /= np.linalg.norm(z, axis=-1, keepdims=True) + 1e-8
+    ref_z, _ = _naive_class_embeddings(names, templates)
+    np.testing.assert_allclose(z.astype(np.float32), ref_z, atol=2e-6)
+
+
+def test_class_embeddings_jit_path_at_cardinality(trained_tiny):
+    """The REAL Evaluator._class_embeddings (jit, replicated outputs,
+    global batching) at 1000-class cardinality equals a naive loop through
+    the same predict_fn — proving the owner/mask bookkeeping end to end,
+    not just the host-side helpers."""
+    import jax
+    from clipa_tpu.configs.smoke import _vocab_path
+    from clipa_tpu.data import core as data_core
+    from clipa_tpu import registry
+    from clipa_tpu.evaluators import zeroshot
+
+    config, params, predict_fn, mesh, _ = trained_tiny
+    # 1000 classes, every 11th aliased; 2 templates keeps the prompt count
+    # (~2180) tractable while still exercising many partial/padded batches.
+    names = [f"object number {i}" + (f", thing {i}" if i % 11 == 0 else "")
+             for i in range(1000)]
+    templates = ["a photo of a {}.", "an image of the {}."]
+    pp_txt = (f'bert_tokenize(inkey="texts", max_len=8, '
+              f'vocab_path="{_vocab_path()}", sample_if_multi=False)')
+    ev = zeroshot.Evaluator(
+        predict_fn, mesh, batch_size=96,
+        dataset_names=["synth1k"], class_names=names,
+        prompt_templates="class_name_only",
+        pp_img="central_crop(32)", pp_txt=pp_txt,
+        sources={"synth1k": data_core.SyntheticSource(
+            n_examples=8, res=40, captions=["x"])},
+        num_workers=0)
+    # Inject the 2-template set (class_name_only has 1; the alias+template
+    # cross-product is what stresses the owner map).
+    ev.datasets["synth1k"]["templates"] = templates
+
+    z = ev._class_embeddings(params, "synth1k")
+    assert z.shape == (1000, config.model.out_dim[1])
+
+    # Naive: same prompts through the same predict_fn, one at a time.
+    pp_txt_fn = registry.get_preprocess_fn(pp_txt)
+    texts, owner = zeroshot.build_prompts(names, templates)
+    ref = np.zeros((1000, z.shape[1]), np.float64)
+    counts = np.zeros((1000,), np.int64)
+    toks = np.stack([pp_txt_fn({"texts": t})["labels"] for t in texts])
+    for i in range(0, len(toks), 96):
+        _, ztxt, _ = predict_fn(params, None, toks[i:i + 96])
+        ztxt = np.asarray(jax.device_get(ztxt), np.float64)
+        for j, ci in enumerate(owner[i:i + 96]):
+            ref[ci] += ztxt[j]
+            counts[ci] += 1
+    assert set(counts) == {2, 4}
+    ref /= counts[:, None]
+    ref /= np.linalg.norm(ref, axis=-1, keepdims=True) + 1e-8
+    np.testing.assert_allclose(z, ref.astype(np.float32), atol=3e-6)

@@ -128,3 +128,29 @@ def test_config_path_learns_and_beats_chance(tmp_path):
     assert losses[-1] < losses[0] - 0.5, f"loss did not decrease: {losses}"
     assert accs and accs[-1] > 0.32, \
         f"zero-shot accuracy {accs} not above chance (0.25)"
+
+
+def test_evals_accept_ml_collections_configdict():
+    """Users migrating from the reference write config.evals with
+    ml_collections.ConfigDict — which is neither a dict subclass nor a
+    registered Mapping. The factory must accept it (it was silently
+    skipped), and reject non-mapping values loudly."""
+    import ml_collections
+    from clipa_tpu.evaluators import common as eval_common
+
+    config = load_config("clipa_tpu/configs/smoke.py:steps=2,batch=16")
+    config.evals = ml_collections.ConfigDict()
+    config.evals.val = ml_collections.ConfigDict(dict(
+        type="contrastive",
+        data=dict(name="synthetic", n_examples=16, res=40),
+        pp=config.input.pp, log_steps=2, num_workers=0))
+    from clipa_tpu.parallel import create_mesh
+    evs = eval_common.from_config(
+        config, {"predict": lambda *a: None}, mesh=create_mesh(fsdp=1),
+        total_steps=2)
+    assert len(evs) == 1 and evs[0][0] == "val"
+
+    config.evals = {"bad": 7}
+    with pytest.raises(TypeError, match="must be a mapping"):
+        eval_common.from_config(config, {"predict": lambda *a: None},
+                                mesh=None, total_steps=2)
