@@ -26,56 +26,116 @@ from clipa_tpu import utils as u
 from clipa_tpu.config import steps
 
 
+# --------------------------------------------------------------------------
+# Learning-rate schedules. The decay FORMULAE are behavioral parity
+# constraints (reference configs name these decay_types and expect the
+# published curves: linear/polynomial from Goyal et al., half-cosine with
+# optional min_lr floor, big_vision's shifted rsqrt, stair); the code
+# organization is ours: each family is a factory returning a pure
+# step->lr map over the post-warmup span, with warmup/cooldown applied as
+# a separate multiplicative envelope.
+# --------------------------------------------------------------------------
+
+def _poly_factory(span, kw):
+    exponent = kw.get("power", 1)
+    floor = kw.get("end", kw.get("linear_end", 0))
+
+    def fn(frac, peak):
+        return floor + (peak - floor) * (1.0 - frac) ** exponent
+    return fn
+
+
+def _cosine_factory(span, kw):
+    floor = (kw["min_lr"] / kw["max_lr"]) if kw.get("min_lr") else 0.0
+
+    def fn(frac, peak):
+        half_wave = 0.5 * (1.0 + jnp.cos(jnp.pi * frac))
+        return floor + (peak - floor) * half_wave
+    return fn
+
+
+def _rsqrt_factory(span, kw):
+    timescale = kw.get("timescale", 10_000)
+    offset = timescale - span.warmup
+
+    def fn(frac, peak, step=None):
+        decayed = peak / jnp.sqrt((step + offset) / timescale)
+        return jnp.where(step > span.warmup, decayed, peak)
+    return fn
+
+
+def _const_factory(span, kw):
+    return lambda frac, peak: peak  # envelope still applies
+
+
+def _stair_factory(span, kw):
+    boundaries = jnp.asarray(kw.get("steps", []))
+    gains = jnp.asarray([1.0] + list(kw.get("mults", [])))
+
+    def fn(frac, peak, step=None):
+        return peak * jnp.take(gains, jnp.searchsorted(boundaries, step + 1))
+    return fn
+
+
+_DECAY_FAMILIES = {
+    "linear": _poly_factory, "polynomial": _poly_factory,
+    "cosine": _cosine_factory, "rsqrt": _rsqrt_factory,
+    "const": _const_factory, "constant": _const_factory,
+    "stair": _stair_factory,
+}
+
+# decay fns that read the raw step, not just the normalized progress
+_STEP_AWARE = (_rsqrt_factory, _stair_factory)
+
+
+class _Span:
+    """Resolved durations of one schedule (any unit -> steps)."""
+
+    def __init__(self, total_steps, batch_size, data_size, kw):
+        self.total = total_steps
+        self.warmup = steps("warmup", kw, data_size, batch_size, total_steps,
+                            default=0)
+        self.cooldown = steps("cooldown", kw, data_size, batch_size,
+                              total_steps, default=0)
+        if total_steps > 1 and self.warmup >= total_steps:
+            raise ValueError(f"warmup_steps ({self.warmup}) >= total_steps "
+                             f"({total_steps})")
+
+    def progress(self, step):
+        frac = (step - self.warmup) / float(self.total - self.warmup)
+        return jnp.clip(frac, 0.0, 1.0)
+
+    def envelope(self, step):
+        """Warmup ramp x cooldown ramp, both linear, both optional."""
+        gain = 1.0
+        if self.warmup:
+            gain = gain * jnp.minimum(1.0, step / self.warmup)
+        if self.cooldown:
+            gain = gain * jnp.minimum(1.0, (self.total - step) / self.cooldown)
+        return gain
+
+
 def create_learning_rate_schedule(total_steps: int, batch_size=None,
                                   data_size=None, base: float = 1.0,
                                   decay_type: str = "stair",
                                   scale_with_batchsize: bool = False,
                                   **kw) -> Callable:
     """Builds step -> lr (all duration kwargs resolvable in any unit)."""
-    warmup_steps = steps("warmup", kw, data_size, batch_size, total_steps,
-                         default=0)
-    cooldown_steps = steps("cooldown", kw, data_size, batch_size, total_steps,
-                           default=0)
-    if total_steps > 1 and warmup_steps >= total_steps:
-        raise ValueError(f"warmup_steps ({warmup_steps}) >= total_steps "
-                         f"({total_steps})")
+    span = _Span(total_steps, batch_size, data_size, kw)
+    try:
+        factory = _DECAY_FAMILIES[decay_type]
+    except KeyError:
+        raise ValueError(f"Unknown decay_type {decay_type!r}") from None
+    decay = factory(span, kw)
+    # Goyal et al. (arxiv 1706.02677) linear scaling; literature ref bs 256.
+    peak = base * batch_size / 256.0 if scale_with_batchsize else base
 
     def schedule(step):
-        lr = base
-        if scale_with_batchsize:  # Goyal et al. linear scaling, ref bs 256.
-            lr = lr * batch_size / 256.0
-
-        progress = (step - warmup_steps) / float(total_steps - warmup_steps)
-        progress = jnp.clip(progress, 0.0, 1.0)
-        if decay_type in ("linear", "polynomial"):
-            power = kw.get("power", 1)
-            zero = kw.get("end", kw.get("linear_end", 0))
-            lr = zero + (lr - zero) * (1.0 - progress) ** power
-        elif decay_type == "cosine":
-            if kw.get("min_lr"):
-                floor = kw["min_lr"] / kw["max_lr"]
-                lr = floor + (lr - floor) * 0.5 * (1.0 + jnp.cos(jnp.pi * progress))
-            else:
-                lr = lr * 0.5 * (1.0 + jnp.cos(jnp.pi * progress))
-        elif decay_type == "rsqrt":
-            timescale = kw.get("timescale", 10_000)
-            shift = timescale - warmup_steps
-            lr = jnp.where(warmup_steps < step,
-                           lr / jnp.sqrt((step + shift) / timescale), lr)
-        elif decay_type in ("const", "constant"):
-            pass  # warmup/cooldown factors below still apply
-        elif decay_type == "stair":
-            i = jnp.searchsorted(jnp.asarray(kw.get("steps", [])), step + 1)
-            lr = lr * jnp.take(
-                jnp.asarray([1.0] + list(kw.get("mults", []))), i)
+        if factory in _STEP_AWARE:
+            lr = decay(span.progress(step), peak, step=step)
         else:
-            raise ValueError(f"Unknown decay_type {decay_type!r}")
-
-        if warmup_steps:
-            lr = lr * jnp.minimum(1.0, step / warmup_steps)
-        if cooldown_steps:
-            lr = lr * jnp.minimum(1.0, (total_steps - step) / cooldown_steps)
-        return jnp.asarray(lr, jnp.float32)
+            lr = decay(span.progress(step), peak)
+        return jnp.asarray(lr * span.envelope(step), jnp.float32)
 
     return schedule
 
@@ -176,71 +236,84 @@ _LOCAL_TX = {"scale_by_fused_adam": scale_by_fused_adam}
 
 
 def make(config: Any, params: Any, *, sched_kw: dict):
-    """Returns (optax gradient transform, list of schedule fns)."""
-    schedule = config.schedule
-    if not isinstance(schedule, (tuple, list)):
-        schedule = [(".*", schedule)]
-    masks, scheds = _make_mask_trees(params, schedule)
-    frozen_mask, masks, scheds = _split_frozen(masks, scheds)
-    not_frozen_mask = jax.tree_util.tree_map(operator.not_, frozen_mask)
+    """Returns (optax gradient transform, list of schedule fns).
+
+    The transform is assembled stage by stage; the stage ORDER is a
+    behavioral parity constraint (updates must see: clip -> direction ->
+    +wd -> x lr -> x schedule -> negate; anything else changes training),
+    but each stage is built by its own helper below.
+    """
+    live_masks, scheds, frozen, active = _schedule_groups(config, params)
 
     schedule_fns = [
         create_learning_rate_schedule(base=1.0, **sched_kw, **dict(sched))
-        for sched in scheds
-    ]
-    schedule_txs = [
-        optax.masked(optax.scale_by_schedule(fn), mask)
-        for fn, mask in zip(schedule_fns, masks)
-    ] + [optax.masked(optax.set_to_zero(), frozen_mask)]
+        for sched in scheds]
 
-    grad_clip_tx = (
-        optax.masked(optax.clip_by_global_norm(config.grad_clip_norm),
-                     not_frozen_mask)
-        if config.get("grad_clip_norm") else optax.identity())
+    stages = []
+    if config.get("grad_clip_norm"):
+        stages.append(optax.masked(
+            optax.clip_by_global_norm(config.grad_clip_norm), active))
+    stages.append(optax.masked(_direction_tx(config), active))
+    stages += _weight_decay_stages(config, params)
+    stages += _lr_multiplier_stages(config, params)
+    stages += [optax.masked(optax.scale_by_schedule(fn), mask)
+               for fn, mask in zip(schedule_fns, live_masks)]
+    stages.append(optax.masked(optax.set_to_zero(), frozen))
+    stages.append(optax.scale(-1.0))
+    return optax.chain(*stages), schedule_fns
 
-    tx_name = config.get("optax_name", "scale_by_adam")
-    tx_func = _LOCAL_TX.get(tx_name) or operator.attrgetter(tx_name)(optax)
-    optax_kw = dict(config.get("optax", {}))
-    for k in ("mu_dtype", "nu_dtype"):
-        if k in optax_kw and isinstance(optax_kw[k], str):
-            optax_kw[k] = jnp.dtype(optax_kw[k])
-    if tx_func is not scale_by_fused_adam:
-        optax_kw.pop("nu_dtype", None)
-        optax_kw.pop("small_leaf_elems", None)
-    opt_txs = [optax.masked(tx_func(**optax_kw), not_frozen_mask)]
 
-    lr_mult_txs = [optax.scale(config.lr)]
-    if config.get("lr_mults"):
-        masks_m, mults = _make_mask_trees(params, config.lr_mults)
-        if not all(m > 0 for m in mults):
-            raise ValueError("Use schedule=None to freeze, not lr_mults=0.")
-        lr_mult_txs += [optax.masked(optax.scale(m), mask)
-                        for m, mask in zip(mults, masks_m)]
+def _schedule_groups(config, params):
+    """config.schedule -> (per-group masks, schedule dicts, frozen mask,
+    active (not-frozen) mask). A None schedule freezes its matches."""
+    spec = config.schedule
+    if not isinstance(spec, (tuple, list)):
+        spec = [(".*", spec)]
+    masks, scheds = _make_mask_trees(params, spec)
+    frozen, masks, scheds = _split_frozen(masks, scheds)
+    active = jax.tree_util.tree_map(operator.not_, frozen)
+    return masks, scheds, frozen, active
 
-    if config.get("lwd"):
-        lr_mult_txs += _layerwise_decay_txs(config, params)
 
+def _direction_tx(config):
+    """The update-direction transform (adam by default), resolved from
+    config.optax_name: locally first, then the optax namespace."""
+    name = config.get("optax_name", "scale_by_adam")
+    func = _LOCAL_TX.get(name) or operator.attrgetter(name)(optax)
+    kw = dict(config.get("optax", {}))
+    for key in ("mu_dtype", "nu_dtype"):
+        if isinstance(kw.get(key), str):
+            kw[key] = jnp.dtype(kw[key])
+    if func is not scale_by_fused_adam:  # fused-only knobs
+        kw.pop("nu_dtype", None)
+        kw.pop("small_leaf_elems", None)
+    return func(**kw)
+
+
+def _weight_decay_stages(config, params):
+    """Decoupled wd (AdamW-style), regex-scoped via config.wd_mults."""
     if "weight_decay" in config:
         raise ValueError("Use config.wd (decoupled), not weight_decay.")
-    weight_decay_txs = []
-    if config.get("wd"):
-        wd_mults = config.get("wd_mults", [(".*/kernel$", 1.0)])
-        masks_w, mults = _make_mask_trees(params, wd_mults)
-        weight_decay_txs = [
-            optax.add_decayed_weights(config.wd * m, mask)
-            for m, mask in zip(mults, masks_w)
-        ]
+    if not config.get("wd"):
+        return []
+    masks, mults = _make_mask_trees(
+        params, config.get("wd_mults", [(".*/kernel$", 1.0)]))
+    return [optax.add_decayed_weights(config.wd * m, mask)
+            for m, mask in zip(mults, masks)]
 
-    # Order matters and matches the reference chain (build_optax.py:273-279):
-    # clip -> adam -> wd -> lr mults -> schedules -> -1.
-    return optax.chain(
-        grad_clip_tx,
-        *opt_txs,
-        *weight_decay_txs,
-        *lr_mult_txs,
-        *schedule_txs,
-        optax.scale(-1.0),
-    ), schedule_fns
+
+def _lr_multiplier_stages(config, params):
+    """Base lr, regex lr_mults, and layer-wise decay, all multiplicative."""
+    stages = [optax.scale(config.lr)]
+    if config.get("lr_mults"):
+        masks, mults = _make_mask_trees(params, config.lr_mults)
+        if not all(m > 0 for m in mults):
+            raise ValueError("Use schedule=None to freeze, not lr_mults=0.")
+        stages += [optax.masked(optax.scale(m), mask)
+                   for m, mask in zip(mults, masks)]
+    if config.get("lwd"):
+        stages += _layerwise_decay_txs(config, params)
+    return stages
 
 
 def _layerwise_decay_txs(config, params):
@@ -263,17 +336,22 @@ def _layerwise_decay_txs(config, params):
 
 
 def find_states(opt_state, cls):
-    leaves = jax.tree_util.tree_leaves(
-        opt_state, is_leaf=lambda node: isinstance(node, cls))
-    return [leaf for leaf in leaves if isinstance(leaf, cls)]
+    """All state nodes of the given optax state class inside a chain."""
+    return jax.tree_util.tree_leaves(
+        jax.tree_util.tree_map(
+            lambda node: node if isinstance(node, cls) else None,
+            opt_state, is_leaf=lambda node: isinstance(node, cls)),
+        is_leaf=lambda node: isinstance(node, cls))
 
 
 def get_count(opt_state) -> int:
-    """Reads the resume step out of the optimizer state."""
-    counts = {
-        int(state.count)
-        for state in find_states(opt_state, optax.ScaleByScheduleState)
-    }
+    """Reads the resume step out of the optimizer state.
+
+    Every schedule group steps in lockstep, so all ScaleByScheduleState
+    counts must agree; disagreement means a corrupted/mixed restore.
+    """
+    counts = {int(s.count)
+              for s in find_states(opt_state, optax.ScaleByScheduleState)}
     if len(counts) != 1:
         raise ValueError(f"Expected exactly one schedule count, got {counts}")
     return counts.pop()
@@ -296,18 +374,25 @@ def _make_mask_trees(params, patterns_values):
 
 
 def _split_frozen(masks, scheds):
-    """Splits out the frozen (None-schedule) mask; asserts full coverage."""
-    all_false = jax.tree_util.tree_map(lambda *bools: not any(bools), *masks)
-    uncovered = [leaf for leaf in jax.tree_util.tree_leaves(all_false) if leaf]
-    if uncovered:
-        names = [n for (n, _), flag in zip(
-            u.tree_flatten_with_names(all_false)[0],
-            jax.tree_util.tree_leaves(all_false)) if flag]
-        raise ValueError(
-            f"config.schedule must cover all params (None freezes): {names[:20]}")
-    frozen_masks = [m for m, s in zip(masks, scheds) if s is None]
-    frozen_mask = jax.tree_util.tree_map(
-        lambda *bools: any(bools), *frozen_masks, all_false)
+    """Splits schedule groups into (frozen mask, live masks, live scheds).
+
+    Every param must be claimed by some schedule regex — a silent miss
+    would leave it optimizer-less; None schedules claim params for the
+    frozen set (updates zeroed, wd skipped).
+    """
+    def union(*trees):
+        return jax.tree_util.tree_map(lambda *flags: any(flags), *trees)
+
+    claimed = union(*masks)
+    missed = [name for (name, _), hit in zip(
+        u.tree_flatten_with_names(claimed)[0],
+        jax.tree_util.tree_leaves(claimed)) if not hit]
+    if missed:
+        raise ValueError("config.schedule must cover all params "
+                         f"(None freezes): {missed[:20]}")
+    nothing = jax.tree_util.tree_map(lambda _: False, claimed)
+    frozen = union(nothing,
+                   *[m for m, s in zip(masks, scheds) if s is None])
     live = [(m, s) for m, s in zip(masks, scheds) if s is not None]
-    masks, scheds = zip(*live) if live else ((), ())
-    return frozen_mask, list(masks), list(scheds)
+    live_masks, live_scheds = map(list, zip(*live)) if live else ([], [])
+    return frozen, live_masks, live_scheds

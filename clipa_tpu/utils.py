@@ -79,18 +79,19 @@ def make_mask_trees(tree: Any, patterns: Sequence, log: str | None = None):
 
 
 def recover_tree(keys: Sequence[str], values: Sequence[Any]) -> dict:
-    """Rebuilds a nested dict from slash-joined keys (npz -> pytree)."""
+    """Rebuilds a nested dict from slash-joined keys (npz -> pytree).
+
+    The inverse of tree_flatten_with_names' naming scheme — the key format
+    ("img/Transformer/encoderblock_0/..." etc.) is the checkpoint-compat
+    contract, shared with the reference's flat-npz layout.
+    """
     tree: dict = {}
-    sub_trees: dict = {}
-    for k, v in zip(keys, values):
-        if "/" not in k:
-            tree[k] = v
-        else:
-            k_left, k_right = k.split("/", 1)
-            sub_trees.setdefault(k_left, []).append((k_right, v))
-    for k, kv_pairs in sub_trees.items():
-        k_subtree, v_subtree = zip(*kv_pairs)
-        tree[k] = recover_tree(k_subtree, v_subtree)
+    for key, value in zip(keys, values):
+        node = tree
+        *parents, leaf = key.split("/")
+        for part in parents:
+            node = node.setdefault(part, {})
+        node[leaf] = value
     return tree
 
 
