@@ -150,9 +150,11 @@ def main():
 
     variant = "L/16" if on_tpu else "Ti/16"
 
-    # Ours: bf16 compute, bf16 Adam moments, fused device-side preprocessing.
+    # Ours: bf16 compute, bf16 Adam moments, flat-grouped fused Adam apply,
+    # fused device-side preprocessing, log-gated norm metrics.
     update, state, gbatch = build_step("bfloat16", batch, variant=variant,
-                                       mu_dtype="bfloat16")
+                                       mu_dtype="bfloat16",
+                                       optax_name="scale_by_fused_adam")
     step_time, loss, state = time_steps(update, state, gbatch, iters=iters)
     pairs_per_sec_chip = batch / step_time / n_chips
 
