@@ -28,7 +28,7 @@ def _vocab_path() -> str:
 
 
 def get_config(arg=None):
-    arg = parse_arg(arg, res=32, batch=32, steps=10, vocab="")
+    arg = parse_arg(arg, res=32, batch=32, steps=10, vocab="", depth=2)
     vocab = arg.vocab or _vocab_path()
 
     config = ConfigDict()
@@ -48,6 +48,12 @@ def get_config(arg=None):
     config.model_name = "two_towers"
     config.model = common.two_towers_model(
         "Ti/16", "Ti", dtype="float32", vocab_size=len(_SMOKE_VOCAB))
+    # Explicit kwargs win over the variant table (vit.py decode_variant
+    # merge order): shallow towers keep the full code path — encoder stack,
+    # pooling, heads — while cutting trace/compile/step time ~5x on the
+    # CPU test mesh. `depth=12` restores true Ti towers.
+    config.model.image.update(depth=arg.depth, mlp_dim=384)
+    config.model.text.update(depth=arg.depth, mlp_dim=384)
     config.init_shapes = [(1, arg.res, arg.res, 3), (1, 8)]
 
     config.update(common.adam_config(lr=1e-3, wd=1e-4, warmup_steps=1,

@@ -69,9 +69,9 @@ def test_int8_tower_trains(mesh8):
 
     model = two_towers.Model(
         image={"variant": "Ti/16", "pool_type": "tok", "posemb": "sincos2d",
-               "quant": "int8"},
+               "quant": "int8", "depth": 2, "mlp_dim": 384},
         text={"variant": "Ti", "pool_type": "last", "vocab_size": 128,
-              "quant": "int8"},
+              "quant": "int8", "depth": 2, "mlp_dim": 384},
         out_dim=(64, 64), temperature_init=1 / 0.07)
     config = ConfigDict(
         lr=1e-3, wd=1e-4, optax_name="scale_by_adam", optax=dict(),

@@ -95,3 +95,90 @@ def test_bucketing_consistency(tiny_ckpt):
     z_one = np.concatenate([svc.embed_images(imgs[i:i + 1])
                             for i in range(6)])
     np.testing.assert_allclose(z_all, z_one, atol=1e-5)
+
+
+def test_sharded_buckets_round_up_to_mesh(tiny_ckpt):
+    """Buckets round up to the device count; results sharded == unsharded."""
+    import jax
+    from clipa_tpu.serving import EmbeddingService
+    name, ckpt_path, vocab_path = tiny_ckpt
+    n_dev = len(jax.devices())
+    svc = EmbeddingService(name, ckpt_path, vocab_path=vocab_path,
+                           buckets=(1, 3), num_workers=0)
+    assert all(b % n_dev == 0 for b in svc.buckets), svc.buckets
+    one_dev = EmbeddingService(name, ckpt_path, vocab_path=vocab_path,
+                               buckets=(4,), num_workers=0,
+                               devices=jax.devices()[:1])
+    rng = np.random.RandomState(2)
+    imgs = rng.randint(0, 255, (7, 32, 32, 3), np.uint8)
+    np.testing.assert_allclose(svc.embed_images(imgs),
+                               one_dev.embed_images(imgs), atol=1e-5)
+
+
+@pytest.mark.parametrize("fmt", ["npy", "zarr"])
+def test_streaming_store(tiny_ckpt, tmp_path, fmt):
+    """embed_*_to streams to disk and matches the in-RAM path exactly."""
+    from clipa_tpu.serving import EmbeddingService
+    name, ckpt_path, vocab_path = tiny_ckpt
+    svc = EmbeddingService(name, ckpt_path, vocab_path=vocab_path,
+                           buckets=(4,), num_workers=0)
+    rng = np.random.RandomState(3)
+    imgs = rng.randint(0, 255, (6, 32, 32, 3), np.uint8)
+    suffix = ".npy" if fmt == "npy" else ".zarr"
+    path = str(tmp_path / ("img_emb" + suffix))
+    n = svc.embed_images_to(imgs, path, fmt=fmt)
+    assert n == 6
+    if fmt == "npy":
+        stored = np.load(path, mmap_mode="r")
+    else:
+        import tensorstore as ts
+        stored = ts.open({"driver": "zarr", "kvstore": {
+            "driver": "file", "path": path}}).result().read().result()
+    np.testing.assert_allclose(np.asarray(stored), svc.embed_images(imgs),
+                               atol=1e-6)
+
+    texts = ["a cat", "a dog", "a photo of a cat"]
+    tpath = str(tmp_path / ("txt_emb" + suffix))
+    assert svc.embed_texts_to(texts, tpath, fmt=fmt) == 3
+    if fmt == "npy":
+        np.testing.assert_allclose(np.load(tpath), svc.embed_texts(texts),
+                                   atol=1e-6)
+
+
+def test_streaming_from_files_lazy(tiny_ckpt, tmp_path):
+    """File-path streaming decodes lazily (window by window) and matches
+    the eager embed_images path."""
+    from clipa_tpu.serving import EmbeddingService
+    from PIL import Image
+    name, ckpt_path, vocab_path = tiny_ckpt
+    svc = EmbeddingService(name, ckpt_path, buckets=(2,), num_workers=2)
+    rng = np.random.RandomState(4)
+    files = []
+    for i in range(5):
+        path = str(tmp_path / f"s{i}.png")  # png = lossless, exact compare
+        Image.fromarray(rng.randint(0, 255, (40, 40, 3), np.uint8)).save(path)
+        files.append(path)
+    out = str(tmp_path / "emb.npy")
+    assert svc.embed_images_to(files, out, fmt="npy") == 5
+    np.testing.assert_allclose(np.load(out), svc.embed_images(files),
+                               atol=1e-6)
+
+
+def test_multi_model_service(tiny_ckpt):
+    from clipa_tpu.serving import MultiModelService
+    name, ckpt_path, vocab_path = tiny_ckpt
+    spec = dict(model_name=name, pretrained=ckpt_path,
+                vocab_path=vocab_path, buckets=(4,), num_workers=0)
+    svc = MultiModelService({"a": spec, "b": dict(spec)}, max_live=1)
+    assert svc.names == ["a", "b"]
+    rng = np.random.RandomState(5)
+    imgs = rng.randint(0, 255, (2, 32, 32, 3), np.uint8)
+    za = svc.embed_images("a", imgs)
+    assert len(svc._live) == 1
+    zb = svc.embed_images("b", imgs)  # evicts "a" (max_live=1)
+    assert list(svc._live) == ["b"]
+    np.testing.assert_allclose(za, zb, atol=1e-6)  # same weights
+    zt = svc.embed_texts("b", ["a cat"])
+    assert zt.shape[1] == za.shape[1]
+    with pytest.raises(KeyError):
+        svc.get("missing")

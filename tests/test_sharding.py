@@ -25,9 +25,14 @@ def _tiny_config(**kw):
 
 
 def _tiny_model():
+    # depth-2 towers: explicit kwargs override the Ti variant table —
+    # the SPMD/sharding semantics under test are depth-independent, and
+    # the CPU mesh serializes device programs (wall-time ~ depth).
     return two_towers.Model(
-        image={"variant": "Ti/16", "pool_type": "tok", "posemb": "sincos2d"},
-        text={"variant": "Ti", "pool_type": "last", "vocab_size": 128},
+        image={"variant": "Ti/16", "pool_type": "tok", "posemb": "sincos2d",
+               "depth": 2, "mlp_dim": 384},
+        text={"variant": "Ti", "pool_type": "last", "vocab_size": 128,
+              "depth": 2, "mlp_dim": 384},
         out_dim=(64, 64), temperature_init=1 / 0.07)
 
 
