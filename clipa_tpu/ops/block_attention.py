@@ -14,11 +14,16 @@ bench chip (v5e, ~209 TF/s bf16, ~300 GB/s effective HBM) drive the design:
     doubling q/k/v/out HBM bytes. This kernel therefore takes the packed
     3D ``(B, L, D)`` layout and splits heads on-chip.
 
-Kernel shape: grid ``(B/G, L/block_q)``. Each program holds a (G, L, D)
-K/V slab (revisited across the q-tile sweep, so it is fetched once per
-sample group) plus one (G, block_q, D) q-tile, and runs all heads to
-completion — scores and softmax never touch HBM, and because the full key
-length is present there is no online-softmax rescaling. The custom VJP
+Kernel shape: grid ``(B/G, H/head_chunk, L/block_q)``. Each program holds
+a (G, L, head_chunk*hd) K/V slab (revisited across the q-tile sweep, so it
+is fetched once per sample group) plus one (G, block_q, head_chunk*hd)
+q-tile, and runs its head chunk to completion — scores and softmax never
+touch HBM, and because the full key length is present there is no
+online-softmax rescaling. At pretrain lengths the plan keeps all heads in
+one program (head axis of 1); at fine-tune lengths (224px: L=257, 336px:
+L=577) it slices the D axis per head chunk so the backward keeps
+whole-sequence q-tiles instead of collapsing to bq=32 (measured 336px:
+the bq=32 backward lost to the XLA einsum path). The custom VJP
 recomputes scores/softmax in the backward kernel from (q, k, v), so the
 forward saves no attention residuals at all (the flash-attention trade:
 ~30% more attention FLOPs for zero score traffic; attention FLOPs are <2%
@@ -57,27 +62,44 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
-def _plan(batch: int, seq: int, d_model: int, bwd: bool):
-    """Returns (group, block_q) or None if no configuration fits VMEM.
+def _plan(batch: int, seq: int, d_model: int, num_heads: int, bwd: bool):
+    """Returns (group, block_q, head_chunk) or None if nothing fits VMEM.
 
     Prefers the largest q-tile (MXU efficiency: the score matmuls are
     (bq x hd) @ (hd x L) per head — small bq starves the systolic array),
-    then the largest batch group (fewer programs)."""
-    def fits(g, bq):
-        kv = 2 * g * seq * d_model * 2 * 2          # k/v slabs, double-buffered
+    then the most heads per program (fewer programs), then the largest
+    batch group. When the full-H working set doesn't fit at a healthy
+    q-tile (336px: L=577 forced bq=32 before), the grid gains a head axis
+    and every block slices `head_chunk * hd` lanes of D — the K/V slab and
+    q/do/dq tiles shrink by H/head_chunk while score temps are unchanged,
+    buying back whole-sequence q-tiles at fine-tune lengths."""
+    hd = d_model // num_heads
+    head_chunks = [num_heads]
+    c = num_heads // 2
+    # Sliced blocks need a lane-tile-aligned width (128); the full-H block
+    # is d_model wide and always aligned.
+    while c >= 1 and num_heads % c == 0 and (c * hd) % 128 == 0:
+        head_chunks.append(c)
+        c //= 2
+
+    def fits(g, bq, hc):
+        dh = hc * hd
+        kv = 2 * g * seq * dh * 2 * 2               # k/v slabs, double-buffered
         if bwd:
-            kv += 2 * g * seq * d_model * 4          # dk/dv fp32 accumulators
-        tiles = (3 if not bwd else 4) * g * bq * d_model * 2 * 2
+            kv += 2 * g * seq * dh * 4               # dk/dv fp32 accumulators
+        tiles = (3 if not bwd else 4) * g * bq * dh * 2 * 2
         scores = 3 * g * bq * seq * 4                # s/p/ds fp32 temps
         budget = _VMEM_BUDGET_BWD if bwd else _VMEM_BUDGET_FWD
         return kv + tiles + scores < budget
+
     for bq in (512, 256, 128, 64, 32):
         bq = min(bq, seq)
-        for g in (16, 8, 4, 2, 1):
-            if batch % g:
-                continue
-            if fits(g, bq):
-                return g, bq
+        for hc in head_chunks:
+            for g in (16, 8, 4, 2, 1):
+                if batch % g:
+                    continue
+                if fits(g, bq, hc):
+                    return g, bq, hc
     return None
 
 
@@ -91,7 +113,7 @@ def eligible(q_shape, num_heads: int, mask) -> bool:
     b, l, d = q_shape
     hd = d // num_heads
     return (mask is None and hd * num_heads == d and hd % 8 == 0
-            and _plan(b, l, d, bwd=False) is not None)
+            and _plan(b, l, d, num_heads, bwd=False) is not None)
 
 
 def _bdot(a, b, contract, batch=((0,), (0,))):
@@ -121,8 +143,10 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, *, num_heads: int, scale: float):
 
 def _bwd_kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref, *,
                 num_heads: int, scale: float, seq: int, block_q: int):
+    # `num_heads` is the heads present in this block (the plan's head
+    # chunk); blocks slice the D axis when the grid has a head dimension.
     hd = q_ref.shape[-1] // num_heads
-    j = pl.program_id(1)
+    j = pl.program_id(2)
 
     @pl.when(j == 0)
     def _():
@@ -130,7 +154,10 @@ def _bwd_kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref, *,
         dv_ref[...] = jnp.zeros(dv_ref.shape, dv_ref.dtype)
 
     # Rows of the final q-tile past the true sequence end must not
-    # contribute to the dK/dV accumulations.
+    # contribute to the dK/dV accumulations. The q/do loads themselves are
+    # masked too: the padded rows hold uninitialized data, and a NaN there
+    # would poison the contraction over the q-tile axis (0 * NaN) even
+    # with p/ds zeroed.
     if seq % block_q:
         row = jax.lax.broadcasted_iota(
             jnp.int32, (q_ref.shape[0], block_q, 1), 1) + j * block_q
@@ -144,6 +171,9 @@ def _bwd_kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref, *,
         kh = k_ref[:, :, sl].astype(jnp.float32)
         vh = v_ref[:, :, sl].astype(jnp.float32)
         doh = do_ref[:, :, sl].astype(jnp.float32)
+        if row_ok is not None:
+            qh = jnp.where(row_ok, qh, 0.0)
+            doh = jnp.where(row_ok, doh, 0.0)
 
         p = _softmax(_bdot(qh, kh, ((2,), (2,))))          # (G, bq, L)
         dp = _bdot(doh, vh, ((2,), (2,)))                  # (G, bq, L)
@@ -163,15 +193,16 @@ def _bwd_kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref, *,
 
 def _call_fwd(q, k, v, num_heads):
     b, l, d = q.shape
-    g, bq = _plan(b, l, d, bwd=False)
+    g, bq, hc = _plan(b, l, d, num_heads, bwd=False)
+    dh = hc * (d // num_heads)
     scale = (d // num_heads) ** -0.5
-    qspec = pl.BlockSpec((g, bq, d), lambda i, j: (i, j, 0),
+    qspec = pl.BlockSpec((g, bq, dh), lambda i, h, j: (i, j, h),
                          memory_space=pltpu.VMEM)
-    kvspec = pl.BlockSpec((g, l, d), lambda i, j: (i, 0, 0),
+    kvspec = pl.BlockSpec((g, l, dh), lambda i, h, j: (i, 0, h),
                           memory_space=pltpu.VMEM)
     return pl.pallas_call(
-        functools.partial(_fwd_kernel, num_heads=num_heads, scale=scale),
-        grid=(b // g, pl.cdiv(l, bq)),
+        functools.partial(_fwd_kernel, num_heads=hc, scale=scale),
+        grid=(b // g, num_heads // hc, pl.cdiv(l, bq)),
         in_specs=[qspec, kvspec, kvspec],
         out_specs=qspec,
         out_shape=jax.ShapeDtypeStruct((b, l, d), q.dtype),
@@ -197,21 +228,22 @@ def _xla_reference(q, k, v, num_heads):
 
 def _call_bwd(q, k, v, do, num_heads):
     b, l, d = q.shape
-    plan = _plan(b, l, d, bwd=True)
+    plan = _plan(b, l, d, num_heads, bwd=True)
     if plan is None:
         _, vjp = jax.vjp(lambda q, k, v: _xla_reference(q, k, v, num_heads),
                          q, k, v)
         return vjp(do)
-    g, bq = plan
+    g, bq, hc = plan
+    dh = hc * (d // num_heads)
     scale = (d // num_heads) ** -0.5
-    qspec = pl.BlockSpec((g, bq, d), lambda i, j: (i, j, 0),
+    qspec = pl.BlockSpec((g, bq, dh), lambda i, h, j: (i, j, h),
                          memory_space=pltpu.VMEM)
-    kvspec = pl.BlockSpec((g, l, d), lambda i, j: (i, 0, 0),
+    kvspec = pl.BlockSpec((g, l, dh), lambda i, h, j: (i, 0, h),
                           memory_space=pltpu.VMEM)
     dq, dk, dv = pl.pallas_call(
-        functools.partial(_bwd_kernel, num_heads=num_heads, scale=scale,
+        functools.partial(_bwd_kernel, num_heads=hc, scale=scale,
                           seq=l, block_q=bq),
-        grid=(b // g, pl.cdiv(l, bq)),
+        grid=(b // g, num_heads // hc, pl.cdiv(l, bq)),
         in_specs=[qspec, kvspec, kvspec, qspec],
         out_specs=(qspec, kvspec, kvspec),
         out_shape=(jax.ShapeDtypeStruct((b, l, d), q.dtype),

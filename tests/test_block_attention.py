@@ -83,6 +83,47 @@ def test_bwd_vmem_fallback_matches():
                                atol=2e-5, rtol=2e-4)
 
 
+def test_head_split_plan_matches_xla():
+    """Fine-tune lengths (336px: L=577) plan a head-chunked grid so the
+    backward keeps whole-sequence q-tiles; the sliced-D blocks must still
+    reproduce the XLA math (fwd and grads), including the ragged final
+    q-tile (577 % 512)."""
+    b, l, h, hd = 2, 577, 8, 64
+    d = h * hd
+    fwd_orig, bwd_orig = (block_attention._VMEM_BUDGET_FWD,
+                          block_attention._VMEM_BUDGET_BWD)
+    rng = np.random.RandomState(3)
+    q = jnp.asarray(rng.randn(b, l, d), jnp.float32)
+    k = jnp.asarray(rng.randn(b, l, d), jnp.float32)
+    v = jnp.asarray(rng.randn(b, l, d), jnp.float32)
+    try:
+        budget = 6 * 1024 * 1024
+        block_attention._VMEM_BUDGET_FWD = budget
+        block_attention._VMEM_BUDGET_BWD = budget
+        plan_f = block_attention._plan(b, l, d, h, bwd=False)
+        plan_b = block_attention._plan(b, l, d, h, bwd=True)
+        assert plan_f is not None and plan_f[2] < h, plan_f
+        assert plan_b is not None and plan_b[2] < h, plan_b
+        with jax.default_matmul_precision("highest"):
+            out = block_attention.fused_attention(q, k, v, h)
+            gf = jax.grad(lambda q, k, v: (block_attention.fused_attention(
+                q, k, v, h) ** 2).sum(), argnums=(0, 1, 2))(q, k, v)
+    finally:
+        block_attention._VMEM_BUDGET_FWD = fwd_orig
+        block_attention._VMEM_BUDGET_BWD = bwd_orig
+    with jax.default_matmul_precision("highest"):
+        ref = attention.multi_head_attention(q, k, v, h, impl="xla")
+        gr = jax.grad(lambda q, k, v: (attention.multi_head_attention(
+            q, k, v, h, impl="xla") ** 2).sum(), argnums=(0, 1, 2))(q, k, v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
+    for name, a, b_ in zip("qkv", gr, gf):
+        scale = float(jnp.max(jnp.abs(a))) + 1e-9
+        np.testing.assert_allclose(np.asarray(b_) / scale,
+                                   np.asarray(a) / scale,
+                                   atol=2e-5, err_msg=f"d{name}")
+
+
 def test_eligibility():
     assert block_attention.eligible((512, 50, 1024), 16, None)
     assert block_attention.eligible((64, 577, 1280), 16, None)  # H/14 @336

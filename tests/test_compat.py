@@ -1,6 +1,7 @@
 """open_clip-compatible facade: registry, converter roundtrip, tokenizer."""
 
 import io
+import os
 
 import jax
 import jax.numpy as jnp
@@ -16,6 +17,27 @@ def test_list_models():
     assert "ViT-H-14-CL32-GAP-BigVision" in models
     assert "ViT-L-16-CL32-GAP" in models
     assert len(models) >= 10
+
+
+# Tower families the rebuild deliberately does not carry (SURVEY §7
+# non-goals): ResNets, CoCa, HF text encoders, timm vision backbones.
+_ZOO_NON_GOAL_PREFIXES = ("RN", "coca_", "mt5-", "roberta-", "xlm-roberta-",
+                          "swin_", "vit_relpos_")
+
+
+@pytest.mark.skipif(not os.path.isdir(
+    "/root/reference/clipa_torch/open_clip/model_configs"),
+    reason="reference checkout not available")
+def test_model_zoo_covers_reference():
+    """Every reference model-config name resolves here except the declared
+    non-goal families (reference clipa_torch/open_clip/model_configs/)."""
+    ref_dir = "/root/reference/clipa_torch/open_clip/model_configs"
+    ref = {os.path.splitext(f)[0] for f in os.listdir(ref_dir)
+           if f.endswith(".json")}
+    ours = set(openclip.list_models())
+    missing = {n for n in ref - ours
+               if not n.startswith(_ZOO_NON_GOAL_PREFIXES)}
+    assert not missing, f"reference model configs absent: {sorted(missing)}"
 
 
 def test_model_config_fields():
