@@ -25,6 +25,10 @@ class Model(nn.Module):
     text_model: str = "text_transformer"
     out_dim: Union[int, Tuple[Optional[int], int]] = 512
     temperature_init: float = 1.0
+    # SigLIP's learnable scalar logit bias (arxiv.org/abs/2303.15343 §3.1,
+    # recommended -10.0); None (the CLIPA default) adds no parameter, so
+    # reference checkpoints are unaffected. Consumed by the sigmoid losses.
+    bias_init: Optional[float] = None
     dtype: Optional[Any] = None  # compute dtype for both towers
 
     @nn.compact
@@ -63,6 +67,11 @@ class Model(nn.Module):
                        jnp.ones(shape, dtype), (1,), jnp.float32)
         out["t"] = jnp.exp(t)
         out["t/parameter"] = t
+        if self.bias_init is not None:
+            bias_init = self.bias_init
+            out["b"] = self.param(
+                "b", lambda key, shape, dtype: bias_init *
+                jnp.ones(shape, dtype), (1,), jnp.float32)
         return zimg, ztxt, out
 
 

@@ -120,3 +120,80 @@ def ring_contrastive_loss(zimg: Array, ztxt: Array, t: Array, mesh,
         out_specs=(out_spec, {"ncorrect": out_spec}),
         **kw,
     )(zimg, ztxt, t)
+
+
+def _ring_sigmoid_local(zimg, ztxt, t, bias, *, axis_names, reduction):
+    """Per-device body of the ring sigmoid loss (runs inside shard_map)."""
+    n = 1
+    for a in axis_names:
+        n *= jax.lax.axis_size(a)
+    perm = None
+    if n > 1:
+        perm = [(j, (j + 1) % n) for j in range(n)]
+
+    zimg = zimg.astype(jnp.float32)
+    ztxt = ztxt.astype(jnp.float32)
+    t = t.astype(jnp.float32)
+    bias = jnp.asarray(bias, jnp.float32)
+    b = zimg.shape[0]
+    eye = jnp.eye(b, dtype=jnp.float32)
+
+    def body(carry, i):
+        ztxt_rot, acc = carry
+        block = jnp.dot(zimg, ztxt_rot.T,
+                        precision=jax.lax.Precision.HIGHEST) * t + bias
+        # Positives live on the diagonal of the home block only (hop 0,
+        # before any rotation — every device starts with its own shard).
+        signs = 2.0 * eye * (i == 0) - 1.0
+        acc = acc + jnp.sum(jax.nn.softplus(-signs * block), axis=1)
+        if perm is not None:
+            ztxt_rot = jax.lax.ppermute(ztxt_rot, axis_names, perm)
+        return (ztxt_rot, acc), ()
+
+    carry = (ztxt, jnp.zeros((b,), jnp.float32))
+    (_, acc), _ = jax.lax.scan(jax.checkpoint(body), carry, jnp.arange(n))
+
+    if reduction:
+        return jax.lax.pmean(jnp.mean(acc), axis_names), {}
+    return acc, {}
+
+
+def ring_sigmoid_contrastive_loss(zimg: Array, ztxt: Array, t: Array, mesh,
+                                  bias: Array = 0.0,
+                                  axis_names: Sequence[str] = ("data",
+                                                               "fsdp"),
+                                  reduction: bool = True):
+    """SigLIP's actual pod algorithm (arxiv.org/abs/2303.15343 §3.3): the
+    pairwise sigmoid loss needs no global normalization, so the text shard
+    just walks the ring and each device folds one (b, b) block of
+    independent binary terms per hop — the full (B, B) matrix never exists
+    anywhere, and there is no LSE packet to carry (unlike the softmax
+    ring). Equals `losses.sigmoid_contrastive_loss` on the gathered batch
+    exactly (values and gradients); verified in tests/test_sharding.py.
+
+    Args match `ring_contrastive_loss`, plus `bias`: SigLIP's scalar logit
+    bias (replicated).
+    """
+    import inspect
+    try:
+        from jax import shard_map
+        rep_kw = ("check_vma" if "check_vma"
+                  in inspect.signature(shard_map).parameters
+                  else None)
+    except ImportError:
+        from jax.experimental.shard_map import shard_map
+        rep_kw = "check_rep"
+
+    axis_names = tuple(axis_names)
+    spec = P(axis_names)
+    out_spec = P() if reduction else P(axis_names)
+
+    fn = functools.partial(_ring_sigmoid_local, axis_names=axis_names,
+                           reduction=reduction)
+    kw = {rep_kw: False} if rep_kw else {}
+    return shard_map(
+        fn, mesh=mesh,
+        in_specs=(spec, spec, P(), P()),
+        out_specs=(out_spec, {}),
+        **kw,
+    )(zimg, ztxt, t, jnp.asarray(bias, jnp.float32))

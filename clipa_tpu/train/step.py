@@ -40,7 +40,8 @@ def make_update_fn(model, tx, config, mesh, total_steps: int = 0) -> Callable:
     step too, matching utils.itstime's `last` rule.
     """
     mask_ratio = float(config.get("mask_ratio", 0.0))
-    loss_kind = config.get("loss", "softmax")  # softmax|sigmoid|chunked|ring
+    # softmax|sigmoid|chunked|ring|ring_sigmoid
+    loss_kind = config.get("loss", "softmax")
     normalize_on_device = bool(config.get("cpu_unit8", True))
     measure_block_norms = bool(config.get("log_block_norms", False))
     # The l2_{grads,params,updates} norms cost 3 full-tree reduction passes
@@ -80,7 +81,8 @@ def make_update_fn(model, tx, config, mesh, total_steps: int = 0) -> Callable:
 
             if loss_kind == "sigmoid":
                 l, l_extras = losses_lib.sigmoid_contrastive_loss(
-                    zimg, ztxt, extras["t"], reduction=True)
+                    zimg, ztxt, extras["t"],
+                    bias=extras.get("b", 0.0), reduction=True)
             elif loss_kind == "chunked":
                 from clipa_tpu.ops import infonce
                 l, l_extras = infonce.chunked_contrastive_loss(
@@ -90,6 +92,11 @@ def make_update_fn(model, tx, config, mesh, total_steps: int = 0) -> Callable:
                 from clipa_tpu.ops import ring_infonce
                 l, l_extras = ring_infonce.ring_contrastive_loss(
                     zimg, ztxt, extras["t"], mesh)
+            elif loss_kind == "ring_sigmoid":
+                from clipa_tpu.ops import ring_infonce
+                l, l_extras = ring_infonce.ring_sigmoid_contrastive_loss(
+                    zimg, ztxt, extras["t"], mesh,
+                    bias=extras.get("b", 0.0))
             else:
                 l, l_extras = losses_lib.bidirectional_contrastive_loss(
                     zimg, ztxt, extras["t"], reduction=True)
@@ -154,7 +161,8 @@ def make_update_fn(model, tx, config, mesh, total_steps: int = 0) -> Callable:
                 ztxt = zt_all.at[j].set(ztxt_j).reshape(-1, ztxt_j.shape[-1])
                 if loss_kind == "sigmoid":
                     l, l_extras = losses_lib.sigmoid_contrastive_loss(
-                        zimg, ztxt, extras["t"], reduction=True)
+                        zimg, ztxt, extras["t"],
+                        bias=extras.get("b", 0.0), reduction=True)
                 elif loss_kind == "chunked":
                     from clipa_tpu.ops import infonce
                     l, l_extras = infonce.chunked_contrastive_loss(
@@ -164,6 +172,12 @@ def make_update_fn(model, tx, config, mesh, total_steps: int = 0) -> Callable:
                     from clipa_tpu.ops import ring_infonce
                     l, l_extras = ring_infonce.ring_contrastive_loss(
                         zimg, ztxt, extras["t"], mesh)
+                elif loss_kind == "ring_sigmoid":
+                    from clipa_tpu.ops import ring_infonce
+                    l, l_extras = \
+                        ring_infonce.ring_sigmoid_contrastive_loss(
+                            zimg, ztxt, extras["t"], mesh,
+                            bias=extras.get("b", 0.0))
                 else:
                     l, l_extras = losses_lib.bidirectional_contrastive_loss(
                         zimg, ztxt, extras["t"], reduction=True)

@@ -250,12 +250,88 @@ def test_ring_infonce_equals_global(mesh8):
                                    rtol=2e-5, atol=2e-6)
 
 
+def test_ring_sigmoid_equals_global(mesh8):
+    """Ring-permuted sigmoid loss (SigLIP's pod algorithm) must equal the
+    global pairwise sigmoid loss — values AND gradients — on the mesh."""
+    from clipa_tpu import losses as losses_lib
+    from clipa_tpu.ops import ring_infonce
+    from clipa_tpu.parallel import batch_sharding
+
+    rng = np.random.RandomState(4)
+    b, d = 32, 16
+    zi = rng.randn(b, d).astype(np.float32)
+    zt = rng.randn(b, d).astype(np.float32)
+    zi /= np.linalg.norm(zi, axis=-1, keepdims=True)
+    zt /= np.linalg.norm(zt, axis=-1, keepdims=True)
+    t = np.asarray([1 / 0.07], np.float32)
+
+    sh = batch_sharding(mesh8)
+    zi_d = jax.device_put(jnp.asarray(zi), sh)
+    zt_d = jax.device_put(jnp.asarray(zt), sh)
+
+    def ring(zi, zt, t):
+        return ring_infonce.ring_sigmoid_contrastive_loss(
+            zi, zt, t, mesh8, bias=-10.0)[0]
+
+    def ref(zi, zt, t):
+        return losses_lib.sigmoid_contrastive_loss(
+            zi, zt, t, bias=-10.0, reduction=True)[0]
+
+    l_ring = jax.jit(ring)(zi_d, zt_d, jnp.asarray(t))
+    l_ref = jax.jit(ref)(jnp.asarray(zi), jnp.asarray(zt), jnp.asarray(t))
+    np.testing.assert_allclose(float(l_ring), float(l_ref), rtol=2e-6)
+
+    g_ring = jax.jit(jax.grad(ring, argnums=(0, 1, 2)))(
+        zi_d, zt_d, jnp.asarray(t))
+    g_ref = jax.jit(jax.grad(ref, argnums=(0, 1, 2)))(
+        jnp.asarray(zi), jnp.asarray(zt), jnp.asarray(t))
+    for a, b_ in zip(g_ring, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=2e-5, atol=2e-6)
+
+
+def test_siglip_bias_param_in_step(mesh8):
+    """bias_init adds the SigLIP scalar logit bias 'b'; the sigmoid step
+    consumes it (init loss drops from ~b_global*softplus scale to near the
+    SigLIP paper's calibrated start), and it trains (bias gets a grad)."""
+    model = two_towers.Model(
+        image={"variant": "Ti/16", "pool_type": "tok", "posemb": "sincos2d",
+               "depth": 2, "mlp_dim": 384},
+        text={"variant": "Ti", "pool_type": "last", "vocab_size": 128,
+              "depth": 2, "mlp_dim": 384},
+        out_dim=(64, 64), temperature_init=1 / 0.07, bias_init=-10.0)
+    batch = local_batch_to_global(_batch(16), mesh8)
+    losses = {}
+    for kind in ("sigmoid", "ring_sigmoid"):
+        config = _tiny_config(loss=kind)
+        tx, _ = optim.make(config, _abstract_params(model, config),
+                           sched_kw=dict(total_steps=10))
+        state = step_lib.init_train_state(model, tx, config, mesh8,
+                                          jax.random.PRNGKey(0))
+        assert "b" in state["params"]
+        assert float(state["params"]["b"][0]) == -10.0
+        update = step_lib.make_update_fn(model, tx, config, mesh8)
+        new_state, meas = update(state, batch)
+        losses[kind] = float(meas["training_loss"])
+        # the bias participates in the loss -> it moves once lr warms up
+        # (step 1 has lr ~= 0 under the 2-step warmup)
+        for _ in range(2):
+            new_state, _ = update(new_state, batch)
+        assert float(new_state["params"]["b"][0]) != -10.0
+    np.testing.assert_allclose(losses["ring_sigmoid"], losses["sigmoid"],
+                               rtol=1e-5)
+    # With b=-10 every pair starts confidently negative: per-row loss ~
+    # softplus(10)*1 positive + ~0 negatives, far below the biasless start.
+    assert losses["sigmoid"] < 15.0
+
+
 def test_ring_loss_in_step(mesh8):
-    """loss='ring' trains end-to-end and matches the softmax step loss."""
+    """loss='ring' trains end-to-end and matches the softmax step loss;
+    loss='ring_sigmoid' matches the global sigmoid step loss."""
     model = _tiny_model()
     batch = local_batch_to_global(_batch(16), mesh8)
     losses = {}
-    for kind in ("softmax", "ring"):
+    for kind in ("softmax", "ring", "sigmoid", "ring_sigmoid"):
         config = _tiny_config(loss=kind)
         tx, _ = optim.make(config, _abstract_params(model, config),
                            sched_kw=dict(total_steps=10))
@@ -265,3 +341,5 @@ def test_ring_loss_in_step(mesh8):
         _, meas = update(state, batch)
         losses[kind] = float(meas["training_loss"])
     np.testing.assert_allclose(losses["ring"], losses["softmax"], rtol=1e-5)
+    np.testing.assert_allclose(losses["ring_sigmoid"], losses["sigmoid"],
+                               rtol=1e-5)
