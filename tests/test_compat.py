@@ -134,9 +134,11 @@ def test_converter_errors_on_unconsumed_keys(tiny_params):
     openclip.convert_torch_state_dict(sd, strict=False)
 
 
-def _torch_block(torch, x, sd, b, heads, attn_bias=None):
-    """Reference transformer block math (pre-LN, erf gelu), written from the
-    open_clip spec (clipa_torch/open_clip/transformer.py ResidualAttentionBlock)."""
+def _torch_block(torch, x, sd, b, heads, attn_bias=None, gelu="erf"):
+    """Reference transformer block math (pre-LN), written from the
+    open_clip spec (clipa_torch/open_clip/transformer.py ResidualAttentionBlock).
+    gelu: "erf" (open_clip default) or "tanh" (the BigVision-compat configs'
+    gelu_approximate, model_configs/*-BigVision.json)."""
     import torch.nn.functional as F
     w = x.shape[-1]
     hd = w // heads
@@ -155,7 +157,8 @@ def _torch_block(torch, x, sd, b, heads, attn_bias=None):
     x = x + y
     y = F.layer_norm(x, (w,), sd[f"{b}.ln_2.weight"], sd[f"{b}.ln_2.bias"])
     y = y @ sd[f"{b}.mlp.c_fc.weight"].T + sd[f"{b}.mlp.c_fc.bias"]
-    y = torch.nn.functional.gelu(y)  # exact (erf) gelu
+    y = torch.nn.functional.gelu(
+        y, approximate="tanh" if gelu == "tanh" else "none")
     y = y @ sd[f"{b}.mlp.c_proj.weight"].T + sd[f"{b}.mlp.c_proj.bias"]
     return x + y
 
@@ -230,6 +233,86 @@ def test_openclip_semantics_match_torch_reference():
 
     # towers cast outputs to float32, so f32 rounding (~1e-8) remains; the
     # LN-eps class of semantic bug this test exists to catch shows at ~4e-5.
+    np.testing.assert_allclose(zimg, zimg_t.numpy(), atol=1e-6)
+    np.testing.assert_allclose(ztxt, ztxt_t.numpy(), atol=1e-6)
+
+
+def test_bigvision_semantics_match_torch_reference():
+    """CLIPA-v2-style (BigVision-compat) models — NO ln_pre, bidirectional
+    text, gap vision pool excluding the cls token, last-token text pool,
+    tanh gelu — must produce the same embeddings as a torch forward
+    implementing the open_clip spec (transformer.py:472-526 big_vision_gap,
+    :638-673 big_vision_last), from the same exported weights. This is the
+    pathway the released CLIPA-v2 checkpoints evaluate through (the
+    de-facto cross-framework parity oracle, SURVEY §4.4)."""
+    torch = pytest.importorskip("torch")
+    import torch.nn.functional as F
+
+    cfg = {
+        "embed_dim": 32,
+        "vision_cfg": {"image_size": 16, "layers": 2, "width": 64,
+                       "head_width": 32, "patch_size": 8,
+                       "gelu_approximate": "tanh", "ln_pre": False,
+                       "pool_style": "big_vision_gap",
+                       "global_average_pool": True},
+        "text_cfg": {"context_length": 8, "vocab_size": 64, "width": 64,
+                     "heads": 2, "layers": 2, "gelu_approximate": "tanh",
+                     "pool_style": "big_vision_last",
+                     "attention_mask": False, "bert_tokenizer": True},
+    }
+    tt = openclip._to_two_towers_cfg(cfg)
+    assert not tt["image"]["ln_pre"] and not tt["text"]["causal_mask"]
+    assert tt["image"]["pool_type"] == "gap"
+    assert tt["text"]["pool_type"] == "last"
+    from clipa_tpu.models import two_towers
+    rng = np.random.RandomState(2)
+    img = rng.rand(2, 16, 16, 3).astype(np.float32)
+    txt = np.stack([[2, 9, 7, 30, 3, 0, 0, 0],
+                    [2, 14, 5, 8, 21, 50, 1, 7]])
+
+    jax.config.update("jax_enable_x64", True)
+    try:
+        model = two_towers.Model(dtype=jnp.float64, **tt)
+        params = model.init({"params": jax.random.PRNGKey(3)},
+                            jnp.asarray(img), jnp.asarray(txt))["params"]
+        zimg, ztxt, _ = model.apply({"params": params}, jnp.asarray(img),
+                                    jnp.asarray(txt))
+        zimg, ztxt = np.asarray(zimg), np.asarray(ztxt)
+        exported = openclip.export_torch_state_dict(params)
+    finally:
+        jax.config.update("jax_enable_x64", False)
+
+    sd = {k: torch.tensor(np.asarray(v, np.float64))
+          for k, v in exported.items()}
+    assert "visual.ln_pre.weight" not in sd
+
+    # ---- torch vision forward (big_vision_gap: cls token attends but is
+    # excluded from the pool; ln_post on the pooled vector) ----
+    x = torch.tensor(img, dtype=torch.float64).permute(0, 3, 1, 2)
+    x = F.conv2d(x, sd["visual.conv1.weight"], stride=8)
+    x = x.reshape(2, 64, -1).permute(0, 2, 1)
+    cls = sd["visual.class_embedding"].expand(2, 1, -1)
+    x = torch.cat([cls, x], dim=1) + sd["visual.positional_embedding"]
+    for i in range(2):
+        x = _torch_block(torch, x, sd, f"visual.transformer.resblocks.{i}",
+                         heads=2, gelu="tanh")
+    pooled = x[:, 1:].mean(dim=1)
+    pooled = F.layer_norm(pooled, (64,), sd["visual.ln_post.weight"],
+                          sd["visual.ln_post.bias"])
+    zimg_t = pooled @ sd["visual.proj"]
+    zimg_t = zimg_t / zimg_t.norm(dim=-1, keepdim=True)
+
+    # ---- torch text forward (bidirectional, last-token pooling) ----
+    t = torch.tensor(txt, dtype=torch.long)
+    x = sd["token_embedding.weight"][t] + sd["positional_embedding"]
+    for i in range(2):
+        x = _torch_block(torch, x, sd, f"transformer.resblocks.{i}",
+                         heads=2, gelu="tanh")
+    x = F.layer_norm(x, (64,), sd["ln_final.weight"], sd["ln_final.bias"])
+    pooled = x[:, -1]
+    ztxt_t = pooled @ sd["text_projection"]
+    ztxt_t = ztxt_t / ztxt_t.norm(dim=-1, keepdim=True)
+
     np.testing.assert_allclose(zimg, zimg_t.numpy(), atol=1e-6)
     np.testing.assert_allclose(ztxt, ztxt_t.numpy(), atol=1e-6)
 
