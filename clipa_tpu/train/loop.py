@@ -304,6 +304,18 @@ def main(argv=None):
     import argparse
     from clipa_tpu.config import apply_overrides, load_config
 
+    # Some TPU images pre-seed jax_platforms with the plugin name, which
+    # silently overrides an explicit JAX_PLATFORMS=cpu (the documented way
+    # to run the CLI off-TPU). Honor ONLY an explicit cpu request — never
+    # re-apply a machine-wide plugin export over a caller's jax.config
+    # choice. Same guard as __graft_entry__.py.
+    env_platforms = (os.environ.get("JAX_PLATFORMS") or "").strip().lower()
+    if env_platforms == "cpu" and jax.config.jax_platforms != "cpu":
+        try:
+            jax.config.update("jax_platforms", "cpu")
+        except RuntimeError:
+            pass  # backend already initialized
+
     parser = argparse.ArgumentParser(description="CLIPA-TPU trainer")
     parser.add_argument("--config", required=True,
                         help="config file path[:arg_string]")
