@@ -131,27 +131,37 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, *, num_heads: int, scale: float):
     hd = q_ref.shape[-1] // num_heads
     for h in range(num_heads):
         sl = slice(h * hd, (h + 1) * hd)
-        qh = q_ref[:, :, sl].astype(jnp.float32) * scale   # (G, bq, hd)
-        kh = k_ref[:, :, sl].astype(jnp.float32)           # (G, L, hd)
-        p = _softmax(_bdot(qh, kh, ((2,), (2,))))          # (G, bq, L) fp32
-        # p cast to the input dtype for the MXU (matches the XLA path,
-        # which runs the weights @ v einsum in the model dtype).
+        # Operands go to the MXU in the input dtype (bf16 in training) with
+        # an fp32 accumulator, and the scale lands on the fp32 scores —
+        # operand order and rounding exactly as the XLA einsum path. An
+        # earlier revision upcast q/k to fp32 before the dot; fp32 MXU
+        # passes run at a fraction of the bf16 rate, which dominated the
+        # kernel at fine-tune lengths (L=257/577) where score FLOPs are real.
+        qh = q_ref[:, :, sl]                               # (G, bq, hd)
+        kh = k_ref[:, :, sl]                               # (G, L, hd)
+        p = _softmax(_bdot(qh, kh, ((2,), (2,))) * scale)  # (G, bq, L) fp32
         vh = v_ref[:, :, sl]
         o = _bdot(p.astype(vh.dtype), vh, ((2,), (1,)))
         o_ref[:, :, sl] = o.astype(o_ref.dtype)
 
 
 def _bwd_kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref, *,
-                num_heads: int, scale: float, seq: int, block_q: int):
+                num_heads: int, scale: float, seq: int, block_q: int,
+                accumulate: bool):
     # `num_heads` is the heads present in this block (the plan's head
     # chunk); blocks slice the D axis when the grid has a head dimension.
+    # `accumulate` is set when the q-tile sweep revisits the dK/dV blocks
+    # (cdiv(L, block_q) > 1): they are then fp32 HBM accumulators. With a
+    # single q-tile they are written once, directly in the operand dtype —
+    # half the dK/dV write traffic at every pretrain shape.
     hd = q_ref.shape[-1] // num_heads
     j = pl.program_id(2)
 
-    @pl.when(j == 0)
-    def _():
-        dk_ref[...] = jnp.zeros(dk_ref.shape, dk_ref.dtype)
-        dv_ref[...] = jnp.zeros(dv_ref.shape, dv_ref.dtype)
+    if accumulate:
+        @pl.when(j == 0)
+        def _():
+            dk_ref[...] = jnp.zeros(dk_ref.shape, dk_ref.dtype)
+            dv_ref[...] = jnp.zeros(dv_ref.shape, dv_ref.dtype)
 
     # Rows of the final q-tile past the true sequence end must not
     # contribute to the dK/dV accumulations. The q/do loads themselves are
@@ -167,28 +177,40 @@ def _bwd_kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref, *,
 
     for h in range(num_heads):
         sl = slice(h * hd, (h + 1) * hd)
-        qh = q_ref[:, :, sl].astype(jnp.float32) * scale
-        kh = k_ref[:, :, sl].astype(jnp.float32)
-        vh = v_ref[:, :, sl].astype(jnp.float32)
-        doh = do_ref[:, :, sl].astype(jnp.float32)
+        # Input-dtype MXU operands throughout (see _fwd_kernel): the five
+        # backward dots were the fp32-pass hotspot. The softmax recompute
+        # uses the same dot+scale order as the forward, so the recomputed
+        # probabilities match the forward's bit for bit.
+        qh = q_ref[:, :, sl]
+        kh = k_ref[:, :, sl]
+        vh = v_ref[:, :, sl]
+        doh = do_ref[:, :, sl]
         if row_ok is not None:
-            qh = jnp.where(row_ok, qh, 0.0)
-            doh = jnp.where(row_ok, doh, 0.0)
+            qh = jnp.where(row_ok, qh, 0)
+            doh = jnp.where(row_ok, doh, 0)
 
-        p = _softmax(_bdot(qh, kh, ((2,), (2,))))          # (G, bq, L)
-        dp = _bdot(doh, vh, ((2,), (2,)))                  # (G, bq, L)
+        p = _softmax(_bdot(qh, kh, ((2,), (2,))) * scale)  # (G, bq, L) fp32
+        dp = _bdot(doh, vh, ((2,), (2,)))                  # (G, bq, L) fp32
         ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
         if row_ok is not None:
             p = jnp.where(row_ok, p, 0.0)
             ds = jnp.where(row_ok, ds, 0.0)
+        # d(logits) carries the scale (logits = (q.k) * scale); cast once to
+        # the operand dtype so dq/dk ride the MXU at the bf16 rate.
+        dsb = (ds * scale).astype(qh.dtype)
+        pb = p.astype(qh.dtype)
 
-        dq = _bdot(ds, kh, ((2,), (1,))) * scale           # (G, bq, hd)
-        dk = _bdot(ds, qh, ((1,), (1,)))                   # (G, L, hd)
-        dv = _bdot(p, doh, ((1,), (1,)))                   # (G, L, hd)
+        dq = _bdot(dsb, kh, ((2,), (1,)))                  # (G, bq, hd)
+        dk = _bdot(dsb, qh, ((1,), (1,)))                  # (G, L, hd)
+        dv = _bdot(pb, doh, ((1,), (1,)))                  # (G, L, hd)
 
         dq_ref[:, :, sl] = dq.astype(dq_ref.dtype)
-        dk_ref[:, :, sl] += dk
-        dv_ref[:, :, sl] += dv
+        if accumulate:
+            dk_ref[:, :, sl] += dk
+            dv_ref[:, :, sl] += dv
+        else:
+            dk_ref[:, :, sl] = dk.astype(dk_ref.dtype)
+            dv_ref[:, :, sl] = dv.astype(dv_ref.dtype)
 
 
 def _call_fwd(q, k, v, num_heads):
@@ -236,19 +258,24 @@ def _call_bwd(q, k, v, do, num_heads):
     g, bq, hc = plan
     dh = hc * (d // num_heads)
     scale = (d // num_heads) ** -0.5
+    # dK/dV only need fp32 HBM accumulators when several q-tiles revisit
+    # them; a single-tile sweep (every pretrain length) writes them once,
+    # in the operand dtype.
+    accumulate = pl.cdiv(l, bq) > 1
+    acc_dt = jnp.float32 if accumulate else k.dtype
     qspec = pl.BlockSpec((g, bq, dh), lambda i, h, j: (i, j, h),
                          memory_space=pltpu.VMEM)
     kvspec = pl.BlockSpec((g, l, dh), lambda i, h, j: (i, 0, h),
                           memory_space=pltpu.VMEM)
     dq, dk, dv = pl.pallas_call(
         functools.partial(_bwd_kernel, num_heads=hc, scale=scale,
-                          seq=l, block_q=bq),
+                          seq=l, block_q=bq, accumulate=accumulate),
         grid=(b // g, num_heads // hc, pl.cdiv(l, bq)),
         in_specs=[qspec, kvspec, kvspec, qspec],
         out_specs=(qspec, kvspec, kvspec),
         out_shape=(jax.ShapeDtypeStruct((b, l, d), q.dtype),
-                   jax.ShapeDtypeStruct((b, l, d), jnp.float32),
-                   jax.ShapeDtypeStruct((b, l, d), jnp.float32)),
+                   jax.ShapeDtypeStruct((b, l, d), acc_dt),
+                   jax.ShapeDtypeStruct((b, l, d), acc_dt)),
         interpret=_interpret(),
     )(q, k, v, do)
     return dq, dk.astype(k.dtype), dv.astype(v.dtype)
@@ -360,10 +387,12 @@ def _fwd2d_kernel(q_ref, k_ref, v_ref, o_ref, *, num_heads: int, seq: int,
     same = _block_diag_mask(group * seq, seq)
     for h in range(num_heads):
         sl = slice(h * hd, (h + 1) * hd)
-        qh = q_ref[:, sl].astype(jnp.float32) * scale        # (G*L, hd)
-        kh = k_ref[:, sl].astype(jnp.float32)
+        # Input-dtype MXU operands, scale on the fp32 scores (see
+        # _fwd_kernel — same XLA-path order, full bf16 MXU rate).
+        qh = q_ref[:, sl]                                    # (G*L, hd)
+        kh = k_ref[:, sl]
         s = jax.lax.dot_general(qh, kh, (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32)
+                                preferred_element_type=jnp.float32) * scale
         p = _masked_softmax(s, same)                         # (G*L, G*L)
         vh = v_ref[:, sl]
         o = jax.lax.dot_general(p.astype(vh.dtype), vh,
@@ -379,25 +408,29 @@ def _bwd2d_kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref, *,
     same = _block_diag_mask(group * seq, seq)
     for h in range(num_heads):
         sl = slice(h * hd, (h + 1) * hd)
-        qh = q_ref[:, sl].astype(f32) * scale
-        kh = k_ref[:, sl].astype(f32)
-        vh = v_ref[:, sl].astype(f32)
-        doh = do_ref[:, sl].astype(f32)
+        # Input-dtype MXU operands for all five dots (see _bwd_kernel);
+        # softmax recompute uses the forward's dot+scale order.
+        qh = q_ref[:, sl]
+        kh = k_ref[:, sl]
+        vh = v_ref[:, sl]
+        doh = do_ref[:, sl]
 
         s = jax.lax.dot_general(qh, kh, (((1,), (1,)), ((), ())),
-                                preferred_element_type=f32)
+                                preferred_element_type=f32) * scale
         p = _masked_softmax(s, same)                          # (G*L, G*L)
         dp = jax.lax.dot_general(doh, vh, (((1,), (1,)), ((), ())),
                                  preferred_element_type=f32)
         # masked entries have p == 0, so ds == 0 there: the cross-sample
         # blocks contribute nothing to dq/dk/dv (exactness preserved).
         ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+        dsb = (ds * scale).astype(qh.dtype)
+        pb = p.astype(qh.dtype)
 
-        dq = jax.lax.dot_general(ds, kh, (((1,), (0,)), ((), ())),
-                                 preferred_element_type=f32) * scale
-        dk = jax.lax.dot_general(ds, qh, (((0,), (0,)), ((), ())),
+        dq = jax.lax.dot_general(dsb, kh, (((1,), (0,)), ((), ())),
                                  preferred_element_type=f32)
-        dv = jax.lax.dot_general(p, doh, (((0,), (0,)), ((), ())),
+        dk = jax.lax.dot_general(dsb, qh, (((0,), (0,)), ((), ())),
+                                 preferred_element_type=f32)
+        dv = jax.lax.dot_general(pb, doh, (((0,), (0,)), ((), ())),
                                  preferred_element_type=f32)
         dq_ref[:, sl] = dq.astype(dq_ref.dtype)
         dk_ref[:, sl] = dk.astype(dk_ref.dtype)
