@@ -1,17 +1,25 @@
-"""Summarize a jax.profiler trace: device time by op class.
+"""Summarize a jax.profiler trace: device time, bytes and flops by op family.
 
-Aggregates the TraceMe/XLA-op events in a profiler trace
-(`plugins/profile/<ts>/*.trace.json.gz`) into a per-op-class table —
-fusions, convolutions, copies, Pallas custom calls, collectives — the
-quickest way to answer "where did the step time go" without TensorBoard
-(which this environment cannot run).
+Aggregates the XLA-op events in a profiler trace
+(`plugins/profile/<ts>/*.trace.json.gz`) into a per-op-family roofline
+table — achieved GB/s and TF/s per fusion family — the quickest way to
+answer "where did the step time go, and is it compute- or HBM-bound"
+without TensorBoard (which this environment cannot run).
+
+Two lessons baked in (both bit a round-3 perf investigation):
+
+  * XLA names are NOT semantic classes. A `convert_reduce_fusion` at the
+    flagship shape contains the LayerNorm *and* a 215-GFLOP Dense GEMM;
+    a plain `fusion.N` can be the dW GEMM fused with the Adam update.
+    Classify by the `hlo_category` arg (the compiler's own category) and
+    report bytes/flops per family, never by guessing from the name.
+  * Step count must be detected, not assumed: the profiler may capture
+    fewer executions than were dispatched under the trace. Top-level
+    `jit_<name>(...)` module spans on the device lanes are counted as
+    steps (`--steps` still overrides).
 
 Usage:
-    python -m clipa_tpu.tools.trace_summary /tmp/clipa_bench_trace \
-        [--top 25] [--steps 3]
-
-The per-step numbers divide total device time by `--steps` (pass how many
-steps ran inside the trace; bench.py traces 3, profile_step --trace 3).
+    python -m clipa_tpu.tools.trace_summary /tmp/clipa_bench_trace [--top 25]
 """
 
 from __future__ import annotations
@@ -36,10 +44,13 @@ def find_trace_file(path: str) -> str:
     return hits[-1]
 
 
+# Fallback classification for events that never carry an hlo_category arg
+# (the profiler attaches metadata to one instance per deduplicated name;
+# rare ops can miss out entirely).
 _CLASS_RULES = (
     ("copy", re.compile(r"^(copy|bitcast|transpose)[\.\-]?\d*")),
     ("fusion", re.compile(r"^(loop_|input_|output_)?fusion[\.\-]?\d*")),
-    ("conv", re.compile(r"^(conv|convolution)[\.\-]?\d*")),
+    ("conv", re.compile(r"^(conv|convolution)")),
     ("dot", re.compile(r"^dot[\.\-]?\d*")),
     ("custom-call", re.compile(r"^custom-call[\.\-]?\d*")),
     ("collective", re.compile(
@@ -51,6 +62,8 @@ _CLASS_RULES = (
     ("infeed-outfeed", re.compile(r"^(infeed|outfeed)")),
 )
 
+_JIT_SPAN = re.compile(r"^jit_\w+\(\d+\)$")
+
 
 def classify(name: str) -> str:
     base = name.split("/")[-1]
@@ -60,14 +73,19 @@ def classify(name: str) -> str:
     return "other"
 
 
-def summarize(trace_file: str, steps: int = 1, top: int = 25) -> dict:
+def _family(name: str) -> str:
+    """`convolution_add_fusion.250` -> `convolution_add_fusion`."""
+    return name.split("/")[-1].split(".")[0]
+
+
+def summarize(trace_file: str, steps: int = 0, top: int = 25) -> dict:
     with gzip.open(trace_file, "rt") as f:
         data = json.load(f)
     events = data.get("traceEvents", [])
 
-    # The "XLA Ops" thread of each device process holds exactly the leaf
-    # op events (the "Steps"/"XLA Modules" lanes are umbrella spans that
-    # would double-count their children).
+    # Restrict to device processes; within them, prefer the "XLA Ops"
+    # thread (the leaf-op lane — "Steps"/"XLA Modules" lanes are umbrella
+    # spans that would double-count their children).
     dev_pids, op_lanes = set(), set()
     for ev in events:
         if ev.get("ph") != "M":
@@ -81,9 +99,28 @@ def summarize(trace_file: str, steps: int = 1, top: int = 25) -> dict:
             op_lanes.add((ev["pid"], ev["tid"]))
     op_lanes = {(p, t) for (p, t) in op_lanes if p in dev_pids} or None
 
+    # Pass 1: metadata join table. The profiler attaches args (bytes,
+    # flops, hlo_category) to one event per deduplicated op name; spread
+    # them over every same-named instance.
+    meta = {}
+    n_steps_seen = 0
+    for ev in events:
+        if ev.get("ph") != "X":
+            continue
+        name = ev.get("name", "")
+        if dev_pids and ev.get("pid") in dev_pids and _JIT_SPAN.match(name):
+            n_steps_seen += 1
+        args = ev.get("args")
+        if args and name not in meta and (
+                "bytes_accessed" in args or "hlo_category" in args):
+            meta[name] = (int(args.get("bytes_accessed", 0) or 0),
+                          int(args.get("model_flops", 0) or 0),
+                          args.get("hlo_category", ""))
+    steps = steps or n_steps_seen or 1
+
     by_class = collections.Counter()
-    by_op = collections.Counter()
     n_by_class = collections.Counter()
+    fam = collections.defaultdict(lambda: [0.0, 0, 0, 0])  # us, bytes, fl, n
     total = 0.0
     for ev in events:
         if ev.get("ph") != "X" or "dur" not in ev:
@@ -94,33 +131,51 @@ def summarize(trace_file: str, steps: int = 1, top: int = 25) -> dict:
         elif dev_pids and ev.get("pid") not in dev_pids:
             continue
         name = ev.get("name", "")
-        # Skip trace-infra lanes and step markers.
-        if name.startswith(("$", "region_", "StepMarker", "tf_Compute")):
+        # Skip trace-infra lanes, step markers and module umbrella spans.
+        if name.startswith(("$", "region_", "StepMarker", "tf_Compute")) \
+                or _JIT_SPAN.match(name):
             continue
-        cls = classify(name)
         dur = float(ev["dur"])  # microseconds
-        by_class[cls] += dur
-        n_by_class[cls] += 1
-        by_op[re.sub(r"[\.\-]\d+$", "", name.split("/")[-1])] += dur
+        b, fl, cat = meta.get(name, (0, 0, ""))
+        by_class[cat or classify(name)] += dur
+        n_by_class[cat or classify(name)] += 1
+        f = fam[_family(name)]
+        f[0] += dur
+        f[1] += b
+        f[2] += fl
+        f[3] += 1
         total += dur
 
+    def _fam_row(us, b, fl, n):
+        return {
+            "ms": round(us / 1e3 / steps, 3),
+            "GB": round(b / 1e9 / steps, 3),
+            "GBps": round(b / us / 1e3) if us else 0,
+            "TFs": round(fl / us / 1e6, 1) if us else 0.0,
+            "count": n,
+        }
+
+    families = sorted(fam.items(), key=lambda kv: -kv[1][0])[:top]
     return {
         "trace_file": trace_file,
         "device_lanes_found": bool(dev_pids),
+        "steps_detected": n_steps_seen,
+        "steps_divisor": steps,
         "total_device_ms_per_step": round(total / 1e3 / steps, 3),
-        "by_class_ms_per_step": {
+        "total_hbm_gb_per_step": round(
+            sum(v[1] for v in fam.values()) / 1e9 / steps, 2),
+        "by_category_ms_per_step": {
             k: {"ms": round(v / 1e3 / steps, 3), "count": n_by_class[k]}
             for k, v in by_class.most_common()},
-        "top_ops_ms_per_step": {
-            k: round(v / 1e3 / steps, 3) for k, v in by_op.most_common(top)},
+        "by_family_per_step": {k: _fam_row(*v) for k, v in families},
     }
 
 
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__.split("\n")[0])
     p.add_argument("trace", help="trace dir or .trace.json.gz file")
-    p.add_argument("--steps", type=int, default=1,
-                   help="steps captured in the trace (divisor)")
+    p.add_argument("--steps", type=int, default=0,
+                   help="override the detected step count (divisor)")
     p.add_argument("--top", type=int, default=25)
     args = p.parse_args(argv)
     out = summarize(find_trace_file(args.trace), steps=args.steps,
