@@ -56,16 +56,19 @@ def _dot(a, b, dims):
 
 def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, block_k: int,
                 kv_len: int, scale: float):
-    qt = q_ref[0].astype(jnp.float32) * scale         # (d, block_q)
+    # Operands stay in the input dtype for the MXU dots (fp32 accumulate
+    # via preferred_element_type); fp32 MXU passes run at a fraction of
+    # the bf16 rate. Scale lands on the fp32 scores — the XLA-path order.
+    qt = q_ref[0]                                     # (d, block_q)
     d, block_q = qt.shape
     n_kv = k_ref.shape[2] // block_k
 
     def body(j, carry):
         m_prev, s_prev, acc = carry                   # acc: (d, block_q)
-        kt = k_ref[0, :, pl.ds(j * block_k, block_k)].astype(jnp.float32)
-        vt = v_ref[0, :, pl.ds(j * block_k, block_k)].astype(jnp.float32)
+        kt = k_ref[0, :, pl.ds(j * block_k, block_k)]
+        vt = v_ref[0, :, pl.ds(j * block_k, block_k)]
         # scores (block_q, block_k) = q^T k, contracting d (sublane dim)
-        scores = _dot(qt, kt, ((0,), (0,)))
+        scores = _dot(qt, kt, ((0,), (0,))) * scale
         col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1) \
             + j * block_k
         scores = jnp.where(col < kv_len, scores, NEG_INF)
@@ -74,8 +77,10 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, block_k: int,
         alpha = jnp.exp(m_prev - m_new)
         p = jnp.exp(scores - m_new[:, None])          # (block_q, block_k)
         s_new = s_prev * alpha + jnp.sum(p, axis=1)
-        # acc (d, block_q) += v_t (d, block_k) @ p^T
-        acc = acc * alpha[None, :] + _dot(vt, p, ((1,), (1,)))
+        # acc (d, block_q) += v_t (d, block_k) @ p^T; p rides the MXU in
+        # the operand dtype, the accumulator stays fp32.
+        acc = acc * alpha[None, :] + _dot(vt, p.astype(vt.dtype),
+                                          ((1,), (1,)))
         return m_new, s_new, acc
 
     m0 = jnp.full((block_q,), NEG_INF, jnp.float32)
@@ -119,16 +124,16 @@ def _flash_fwd(q, k, v, *, block_q: int, block_k: int, kv_len: int,
 
 def _dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref, *,
                block_k: int, kv_len: int, scale: float):
-    qt = q_ref[0].astype(jnp.float32)                 # (d, block_q)
-    dot_ = do_ref[0].astype(jnp.float32)              # (d, block_q)
+    qt = q_ref[0]                                     # (d, block_q)
+    dot_ = do_ref[0]                                  # (d, block_q)
     lse = lse_ref[0, 0]
     delta = delta_ref[0, 0]
     d, block_q = qt.shape
     n_kv = k_ref.shape[2] // block_k
 
     def body(j, dq_acc):
-        kt = k_ref[0, :, pl.ds(j * block_k, block_k)].astype(jnp.float32)
-        vt = v_ref[0, :, pl.ds(j * block_k, block_k)].astype(jnp.float32)
+        kt = k_ref[0, :, pl.ds(j * block_k, block_k)]
+        vt = v_ref[0, :, pl.ds(j * block_k, block_k)]
         scores = _dot(qt, kt, ((0,), (0,))) * scale
         col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1) \
             + j * block_k
@@ -137,7 +142,7 @@ def _dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref, *,
         dp = _dot(dot_, vt, ((0,), (0,)))             # (block_q, block_k)
         ds = p * (dp - delta[:, None])
         # dq_t (d, block_q) += k_t (d, block_k) @ ds^T
-        return dq_acc + _dot(kt, ds, ((1,), (1,)))
+        return dq_acc + _dot(kt, ds.astype(kt.dtype), ((1,), (1,)))
 
     dq = jax.lax.fori_loop(0, n_kv, body,
                            jnp.zeros((d, block_q), jnp.float32))
@@ -146,8 +151,8 @@ def _dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref, *,
 
 def _dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
                 dk_ref, dv_ref, *, block_q: int, kv_len: int, scale: float):
-    kt = k_ref[0].astype(jnp.float32)                 # (d, block_k)
-    vt = v_ref[0].astype(jnp.float32)
+    kt = k_ref[0]                                     # (d, block_k)
+    vt = v_ref[0]
     d, block_k = kt.shape
     n_q = q_ref.shape[2] // block_q
     kv_start = pl.program_id(1) * block_k
@@ -156,19 +161,19 @@ def _dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
 
     def body(i, carry):
         dk_acc, dv_acc = carry                        # (d, block_k)
-        qt = q_ref[0, :, pl.ds(i * block_q, block_q)].astype(jnp.float32)
-        dot_ = do_ref[0, :, pl.ds(i * block_q, block_q)].astype(jnp.float32)
+        qt = q_ref[0, :, pl.ds(i * block_q, block_q)]
+        dot_ = do_ref[0, :, pl.ds(i * block_q, block_q)]
         lse = lse_ref[0, 0, pl.ds(i * block_q, block_q)]
         delta = delta_ref[0, 0, pl.ds(i * block_q, block_q)]
         scores = _dot(qt, kt, ((0,), (0,))) * scale   # (block_q, block_k)
         scores = jnp.where(col_valid, scores, NEG_INF)
         p = jnp.exp(scores - lse[:, None])
         # dv_t (d, block_k) += do_t (d, block_q) @ p
-        dv_acc = dv_acc + _dot(dot_, p, ((1,), (0,)))
+        dv_acc = dv_acc + _dot(dot_, p.astype(dot_.dtype), ((1,), (0,)))
         dp = _dot(dot_, vt, ((0,), (0,)))             # (block_q, block_k)
         ds = p * (dp - delta[:, None])
         # dk_t (d, block_k) += q_t (d, block_q) @ ds
-        dk_acc = dk_acc + _dot(qt, ds, ((1,), (0,)))
+        dk_acc = dk_acc + _dot(qt, ds.astype(qt.dtype), ((1,), (0,)))
         return dk_acc, dv_acc
 
     zeros = jnp.zeros((d, block_k), jnp.float32)
