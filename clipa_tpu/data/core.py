@@ -11,6 +11,7 @@ and the host page cache want).
 
 from __future__ import annotations
 
+import csv
 import glob
 import json
 import os
@@ -149,6 +150,108 @@ class SyntheticSource(DataSource):
                 return
 
 
+class CsvSource(DataSource):
+    """Separator-delimited (path, caption) file — the torch quickstart path.
+
+    Equivalent of the reference `CsvDataset`
+    (clipa_torch/training/data.py:33-56, flag defaults
+    training/params.py: --csv-separator '\\t', --csv-img-key 'filepath',
+    --csv-caption-key 'title'). Yields raw image BYTES (the pp `decode` op
+    owns decoding, same as the TFRecord path) plus the caption string.
+
+    Rows are split per process round-robin (sample granularity: CSV files
+    are a single file, so file-level splitting would idle all but one
+    host).
+    """
+
+    def __init__(self, path: str, img_key: str = "filepath",
+                 caption_key: str = "title", sep: str = "\t",
+                 base_dir: Optional[str] = None):
+        self.base_dir = base_dir or os.path.dirname(os.path.abspath(path))
+        with open(path, newline="") as f:
+            reader = csv.DictReader(f, delimiter=sep)
+            if reader.fieldnames is None or \
+                    img_key not in reader.fieldnames or \
+                    caption_key not in reader.fieldnames:
+                raise ValueError(
+                    f"CSV {path!r} must have {img_key!r} and "
+                    f"{caption_key!r} columns; found {reader.fieldnames}")
+            self.rows = [(r[img_key], r[caption_key]) for r in reader]
+        if not self.rows:
+            raise ValueError(f"CSV {path!r} has no data rows")
+
+    def total_examples(self) -> int:
+        return len(self.rows)
+
+    def _path(self, p: str) -> str:
+        return p if os.path.isabs(p) else os.path.join(self.base_dir, p)
+
+    def iter_process_shard(self, *, repeat: bool = False,
+                           seed: Optional[int] = None) -> Iterator[dict]:
+        mine = list(range(jax.process_index(), len(self.rows),
+                          jax.process_count()))
+        rng = np.random.default_rng(seed if seed is not None else 0)
+        while True:
+            order = rng.permutation(len(mine)) if seed is not None \
+                else np.arange(len(mine))
+            for i in order:
+                path, caption = self.rows[mine[int(i)]]
+                with open(self._path(path), "rb") as f:
+                    yield {"image": f.read(), "texts": caption}
+            if not repeat:
+                return
+
+
+# Extensions torchvision's ImageFolder accepts (datasets/folder.py), which
+# is what the reference evaluates raw ImageNet-val trees with.
+_IMAGE_EXTS = (".jpg", ".jpeg", ".png", ".ppm", ".bmp", ".pgm", ".tif",
+               ".tiff", ".webp")
+
+
+class ImageFolderSource(DataSource):
+    """Directory-of-class-subdirs labelled images (torchvision ImageFolder).
+
+    Equivalent of the reference's raw ImageNet-val evaluation path
+    (clipa_torch/training/data.py:123-145 `get_imagenet` ->
+    `datasets.ImageFolder`): class subdirectory names sort to label
+    indices. Yields raw image BYTES + integer `label` — point a zero-shot
+    evaluator at an untarred IN-1K val tree without a TFRecord conversion.
+    """
+
+    def __init__(self, root: str):
+        self.root = root
+        classes = sorted(e.name for e in os.scandir(root) if e.is_dir())
+        if not classes:
+            raise FileNotFoundError(f"No class subdirectories in {root!r}")
+        self.class_names = classes
+        self.samples = []
+        for label, cls in enumerate(classes):
+            cdir = os.path.join(root, cls)
+            for fname in sorted(os.listdir(cdir)):
+                if fname.lower().endswith(_IMAGE_EXTS):
+                    self.samples.append((os.path.join(cdir, fname), label))
+        if not self.samples:
+            raise FileNotFoundError(f"No images under {root!r}")
+
+    def total_examples(self) -> int:
+        return len(self.samples)
+
+    def iter_process_shard(self, *, repeat: bool = False,
+                           seed: Optional[int] = None) -> Iterator[dict]:
+        mine = list(range(jax.process_index(), len(self.samples),
+                          jax.process_count()))
+        rng = np.random.default_rng(seed if seed is not None else 0)
+        while True:
+            order = rng.permutation(len(mine)) if seed is not None \
+                else np.arange(len(mine))
+            for i in order:
+                path, label = self.samples[mine[int(i)]]
+                with open(path, "rb") as f:
+                    yield {"image": f.read(), "label": label}
+            if not repeat:
+                return
+
+
 class MixtureSource(DataSource):
     """Weighted mixture of sources (multi-dataset training).
 
@@ -185,9 +288,12 @@ class MixtureSource(DataSource):
 
 
 def get_source(name: str, **kw) -> DataSource:
-    """Source factory: 'tfrecord', 'synthetic', 'mixture'."""
+    """Source factory: 'tfrecord', 'csv', 'image_folder', 'synthetic',
+    'mixture'."""
     factories = {
         "tfrecord": TFRecordSource,
+        "csv": CsvSource,
+        "image_folder": ImageFolderSource,
         "synthetic": SyntheticSource,
         "mixture": MixtureSource,
     }

@@ -197,3 +197,68 @@ def test_device_prefetch(mesh8, shards):
     import jax
     assert isinstance(batch["id"], jax.Array)
     assert len(batch["id"].sharding.device_set) == jax.device_count()
+
+
+def _png_bytes(color, size=8):
+    from PIL import Image
+    img = Image.new("RGB", (size, size), color)
+    buf = io.BytesIO()
+    img.save(buf, "PNG")
+    return buf.getvalue()
+
+
+def test_csv_source(tmp_path):
+    """Torch-quickstart CSV surface (clipa_torch/training/data.py:33-56):
+    tab-separated filepath/title columns, relative paths resolved against
+    the CSV's directory, raw bytes out (pp `decode` owns decoding)."""
+    (tmp_path / "imgs").mkdir()
+    rows = ["filepath\ttitle"]
+    for i, color in enumerate([(255, 0, 0), (0, 255, 0), (0, 0, 255)]):
+        (tmp_path / "imgs" / f"{i}.png").write_bytes(_png_bytes(color))
+        rows.append(f"imgs/{i}.png\tcaption number {i}")
+    (tmp_path / "data.csv").write_text("\n".join(rows) + "\n")
+
+    src = core.CsvSource(str(tmp_path / "data.csv"))
+    assert src.total_examples() == 3
+    samples = list(src.iter_process_shard())
+    assert len(samples) == 3
+    assert samples[0]["texts"] == "caption number 0"
+    from clipa_tpu.pp import ops_image
+    decoded = ops_image.get_decode()({"image": samples[0]["image"]})["image"]
+    assert decoded.shape == (8, 8, 3)
+    assert decoded[0, 0, 0] == 255  # red pixel survives the round trip
+
+    # seeded repeat reshuffles; unseeded order is stable
+    again = list(src.iter_process_shard())
+    assert [s["texts"] for s in again] == [s["texts"] for s in samples]
+
+
+def test_csv_source_validates_columns(tmp_path):
+    (tmp_path / "bad.csv").write_text("a\tb\n1\t2\n")
+    with pytest.raises(ValueError, match="filepath"):
+        core.CsvSource(str(tmp_path / "bad.csv"))
+
+
+def test_image_folder_source(tmp_path):
+    """torchvision-ImageFolder semantics (reference raw IN-1K val path,
+    clipa_torch/training/data.py:123-145): sorted class dirs -> labels."""
+    for cls, color in [("n01_cat", (250, 1, 1)), ("n02_dog", (1, 250, 1))]:
+        d = tmp_path / cls
+        d.mkdir()
+        for j in range(2):
+            (d / f"{j}.png").write_bytes(_png_bytes(color))
+    (tmp_path / "n01_cat" / "notes.txt").write_text("skip me")
+
+    src = core.ImageFolderSource(str(tmp_path))
+    assert src.class_names == ["n01_cat", "n02_dog"]
+    assert src.total_examples() == 4
+    samples = list(src.iter_process_shard())
+    assert sorted(s["label"] for s in samples) == [0, 0, 1, 1]
+    from clipa_tpu.pp import ops_image
+    img = ops_image.get_decode()({"image": samples[0]["image"]})["image"]
+    assert img.shape == (8, 8, 3)
+
+
+def test_get_source_names():
+    with pytest.raises(KeyError, match="csv"):
+        core.get_source("nope")
