@@ -98,6 +98,54 @@ def local_contrastive_loss(local_img: Array, local_txt: Array,
     return redux(l), {"ncorrect": redux(ncorrect)}
 
 
+def distill_contrastive_loss(zimg: Array, ztxt: Array, t: Array,
+                             t_zimg: Array, t_ztxt: Array, t_t: Array):
+    """InfoNCE + soft-label distillation from a teacher two-tower.
+
+    Reference semantics: clipa_torch/open_clip/loss.py:201-238
+    (DistillClipLoss) with the trainer summing both terms
+    (training/train.py:210-213). The teacher's B x B logits (its OWN
+    temperature) provide soft targets for the student's logits, both
+    directions, via soft cross-entropy; the ordinary contrastive loss is
+    kept at weight 1. Teacher embeddings must carry no gradient (stopped
+    here again for safety).
+
+    Returns (total, {"contrastive_loss", "distill_loss", "ncorrect"}).
+    """
+    t_zimg = jax.lax.stop_gradient(t_zimg)
+    t_ztxt = jax.lax.stop_gradient(t_ztxt)
+    t_t = jax.lax.stop_gradient(t_t)
+
+    def _logits(a, b, temp):
+        return jnp.dot(a.astype(jnp.float32), b.astype(jnp.float32).T,
+                       precision=jax.lax.Precision.HIGHEST) * temp
+
+    logits_img = _logits(zimg, ztxt, t)       # (B, B): image rows
+    logits_txt = logits_img.T                 # text rows (same matrix)
+    d_logits_img = _logits(t_zimg, t_ztxt, t_t)
+    d_logits_txt = d_logits_img.T
+
+    labels = jnp.arange(logits_img.shape[0])
+    l1 = -jnp.diag(jax.nn.log_softmax(logits_img, axis=1))
+    l2 = -jnp.diag(jax.nn.log_softmax(logits_txt, axis=1))
+    contrastive = 0.5 * jnp.mean(l1 + l2)
+
+    def soft_ce(teacher_logits, student_logits):
+        p = jax.nn.softmax(teacher_logits, axis=1)
+        return jnp.mean(-jnp.sum(
+            p * jax.nn.log_softmax(student_logits, axis=1), axis=1))
+
+    distill = 0.5 * (soft_ce(d_logits_img, logits_img)
+                     + soft_ce(d_logits_txt, logits_txt))
+
+    ncorrect = jnp.mean(jnp.argmax(logits_img, axis=1) == labels)
+    return contrastive + distill, {
+        "contrastive_loss": contrastive,
+        "distill_loss": distill,
+        "ncorrect": ncorrect,
+    }
+
+
 def sigmoid_contrastive_loss(zimg: Array, ztxt: Array, t: Array,
                              bias: Array = 0.0, reduction: bool = True):
     """SigLIP-style pairwise sigmoid loss (arxiv.org/abs/2303.15343).

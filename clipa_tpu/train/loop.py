@@ -131,8 +131,32 @@ def train(config: ConfigDict, workdir: Optional[str] = None) -> dict:
     n_params = sum(x.size for x in jax.tree_util.tree_leaves(state["params"]))
     write_note(f"Model has {n_params / 1e6:.1f}M params")
 
+    # Optional frozen distillation teacher (reference --distill-model /
+    # --distill-pretrained, clipa_torch/training/main.py:221-257): a second
+    # two-tower whose soft logits supervise the student. Params are mesh-
+    # placed like the student's but never updated (and never donated).
+    teacher_model, teacher_params = None, None
+    if config.get("distill"):
+        dcfg = config.distill
+        teacher_mod = get_model_module(dcfg.get("model_name", "two_towers"))
+        teacher_model = teacher_mod.Model(**dict(dcfg.model))
+        t_rng = jax.random.PRNGKey(dcfg.get("seed", 0))
+        # Same input shapes as the student: the reference assumes the
+        # teacher shares tokenizer & transforms (main.py:253 FIXME).
+        t_state = step_lib.init_model_params(
+            teacher_model, config.init_shapes, mesh, t_rng)
+        if dcfg.get("model_init"):
+            write_note(f"Loading distillation teacher from "
+                       f"{dcfg.model_init}...")
+            t_host = teacher_mod.load(jax.device_get(t_state), dcfg.model_init,
+                                      dcfg.model,
+                                      **dict(dcfg.get("model_load", {})))
+            t_state = _place_like(t_host, t_state)
+        teacher_params = t_state
+
     update_fn = step_lib.make_update_fn(model, tx, config, mesh,
-                                        total_steps=total_steps)
+                                        total_steps=total_steps,
+                                        teacher_model=teacher_model)
     predict_fn = step_lib.make_predict_fn(
         model, normalize=bool(config.get("cpu_unit8", True)))
 
@@ -254,7 +278,10 @@ def train(config: ConfigDict, workdir: Optional[str] = None) -> dict:
         metric.step_start(step)
         profiler.maybe_start(step)
         with profiler.step_annotation(step):
-            state, measurements = update_fn(state, batch)
+            if teacher_model is not None:
+                state, measurements = update_fn(state, batch, teacher_params)
+            else:
+                state, measurements = update_fn(state, batch)
         profiler.maybe_stop(step)
 
         if u.itstime(step, log_steps, total_steps, host=0):

@@ -33,11 +33,51 @@ from clipa_tpu.parallel import mesh as mesh_lib
 Array = jax.Array
 
 
-def make_update_fn(model, tx, config, mesh, total_steps: int = 0) -> Callable:
+def _make_loss_dispatch(loss_kind: str, config, mesh) -> Callable:
+    """One place that maps config.loss to the loss implementation.
+
+    Returns apply_loss(zimg, ztxt, extras, teacher_out) -> (loss, extras
+    dict); `teacher_out` is an optional (t_zimg, t_ztxt, t_t) triple that
+    switches on soft-label distillation (reference DistillClipLoss)."""
+
+    def apply_loss(zimg, ztxt, extras, teacher_out=None):
+        if teacher_out is not None:
+            return losses_lib.distill_contrastive_loss(
+                zimg, ztxt, extras["t"], *teacher_out)
+        if loss_kind == "sigmoid":
+            return losses_lib.sigmoid_contrastive_loss(
+                zimg, ztxt, extras["t"],
+                bias=extras.get("b", 0.0), reduction=True)
+        if loss_kind == "chunked":
+            from clipa_tpu.ops import infonce
+            return infonce.chunked_contrastive_loss(
+                zimg, ztxt, extras["t"],
+                chunk_size=int(config.get("loss_chunk_size", 4096)))
+        if loss_kind == "ring":
+            from clipa_tpu.ops import ring_infonce
+            return ring_infonce.ring_contrastive_loss(
+                zimg, ztxt, extras["t"], mesh)
+        if loss_kind == "ring_sigmoid":
+            from clipa_tpu.ops import ring_infonce
+            return ring_infonce.ring_sigmoid_contrastive_loss(
+                zimg, ztxt, extras["t"], mesh, bias=extras.get("b", 0.0))
+        return losses_lib.bidirectional_contrastive_loss(
+            zimg, ztxt, extras["t"], reduction=True)
+
+    return apply_loss
+
+
+def make_update_fn(model, tx, config, mesh, total_steps: int = 0,
+                   teacher_model=None) -> Callable:
     """Builds the donated, jitted update(train_state, batch) function.
 
     total_steps (when known) lets the gated norm metrics fire on the final
     step too, matching utils.itstime's `last` rule.
+
+    With `teacher_model` set the update takes a third argument
+    (teacher params, NOT donated) and trains against the reference's
+    DistillClipLoss: contrastive + soft-label KL from the frozen teacher's
+    logits (clipa_torch/training/train.py:206-213).
     """
     mask_ratio = float(config.get("mask_ratio", 0.0))
     # softmax|sigmoid|chunked|ring|ring_sigmoid
@@ -56,8 +96,20 @@ def make_update_fn(model, tx, config, mesh, total_steps: int = 0) -> Callable:
     batch_sharding = mesh_lib.batch_sharding(mesh)
 
     accum_steps = int(config.get("grad_accum_steps", 1))
+    apply_loss = _make_loss_dispatch(loss_kind, config, mesh)
+    if teacher_model is not None:
+        # Same restrictions as the reference trainer (train.py:222-225
+        # FIXMEs): distillation composes with the plain global softmax
+        # loss, not grad accumulation or the explicit-comm losses.
+        if loss_kind != "softmax":
+            raise ValueError(
+                f"config.distill requires loss='softmax', got {loss_kind!r}")
+        if accum_steps > 1:
+            raise ValueError(
+                "config.distill is incompatible with grad_accum_steps > 1 "
+                "(reference limitation too, clipa_torch/training/main.py:222)")
 
-    def update(train_state, batch):
+    def update(train_state, batch, teacher_params=None):
         params, opt, rng, step = (train_state["params"], train_state["opt"],
                                   train_state["rng"], train_state["step"])
         images = batch["image"]
@@ -70,6 +122,16 @@ def make_update_fn(model, tx, config, mesh, total_steps: int = 0) -> Callable:
 
         rng_step = jax.random.fold_in(rng, step)
 
+        teacher_out = None
+        if teacher_model is not None:
+            # Frozen teacher forward (reference: torch.no_grad() around
+            # dist_model, train.py:206-208). Computed once outside the
+            # grad trace; its own temperature scales its logits.
+            t_zimg, t_ztxt, t_extras = teacher_model.apply(
+                {"params": teacher_params}, images, labels, train=False)
+            teacher_out = jax.lax.stop_gradient(
+                (t_zimg, t_ztxt, t_extras["t"]))
+
         def loss_fn(params, images, labels, rng_local):
             zimg, ztxt, extras = model.apply(
                 {"params": params}, images, labels, train=True,
@@ -79,27 +141,7 @@ def make_update_fn(model, tx, config, mesh, total_steps: int = 0) -> Callable:
             zimg = jax.lax.with_sharding_constraint(zimg, batch_sharding)
             ztxt = jax.lax.with_sharding_constraint(ztxt, batch_sharding)
 
-            if loss_kind == "sigmoid":
-                l, l_extras = losses_lib.sigmoid_contrastive_loss(
-                    zimg, ztxt, extras["t"],
-                    bias=extras.get("b", 0.0), reduction=True)
-            elif loss_kind == "chunked":
-                from clipa_tpu.ops import infonce
-                l, l_extras = infonce.chunked_contrastive_loss(
-                    zimg, ztxt, extras["t"],
-                    chunk_size=int(config.get("loss_chunk_size", 4096)))
-            elif loss_kind == "ring":
-                from clipa_tpu.ops import ring_infonce
-                l, l_extras = ring_infonce.ring_contrastive_loss(
-                    zimg, ztxt, extras["t"], mesh)
-            elif loss_kind == "ring_sigmoid":
-                from clipa_tpu.ops import ring_infonce
-                l, l_extras = ring_infonce.ring_sigmoid_contrastive_loss(
-                    zimg, ztxt, extras["t"], mesh,
-                    bias=extras.get("b", 0.0))
-            else:
-                l, l_extras = losses_lib.bidirectional_contrastive_loss(
-                    zimg, ztxt, extras["t"], reduction=True)
+            l, l_extras = apply_loss(zimg, ztxt, extras, teacher_out)
             return l, {
                 "t": extras["t"][0],
                 "t/parameter": extras["t/parameter"][0],
@@ -159,28 +201,7 @@ def make_update_fn(model, tx, config, mesh, total_steps: int = 0) -> Callable:
                           "random_mask": jax.random.fold_in(rng_step, j)})
                 zimg = zi_all.at[j].set(zimg_j).reshape(-1, zimg_j.shape[-1])
                 ztxt = zt_all.at[j].set(ztxt_j).reshape(-1, ztxt_j.shape[-1])
-                if loss_kind == "sigmoid":
-                    l, l_extras = losses_lib.sigmoid_contrastive_loss(
-                        zimg, ztxt, extras["t"],
-                        bias=extras.get("b", 0.0), reduction=True)
-                elif loss_kind == "chunked":
-                    from clipa_tpu.ops import infonce
-                    l, l_extras = infonce.chunked_contrastive_loss(
-                        zimg, ztxt, extras["t"],
-                        chunk_size=int(config.get("loss_chunk_size", 4096)))
-                elif loss_kind == "ring":
-                    from clipa_tpu.ops import ring_infonce
-                    l, l_extras = ring_infonce.ring_contrastive_loss(
-                        zimg, ztxt, extras["t"], mesh)
-                elif loss_kind == "ring_sigmoid":
-                    from clipa_tpu.ops import ring_infonce
-                    l, l_extras = \
-                        ring_infonce.ring_sigmoid_contrastive_loss(
-                            zimg, ztxt, extras["t"], mesh,
-                            bias=extras.get("b", 0.0))
-                else:
-                    l, l_extras = losses_lib.bidirectional_contrastive_loss(
-                        zimg, ztxt, extras["t"], reduction=True)
+                l, l_extras = apply_loss(zimg, ztxt, extras)
                 return l, {
                     "t": extras["t"][0],
                     "t/parameter": extras["t/parameter"][0],
@@ -276,10 +297,10 @@ def make_predict_fn(model, normalize: bool = True) -> Callable:
     return predict
 
 
-def init_train_state(model, tx, config, mesh, rng) -> Any:
-    """Initializes params/opt on host then places them with mesh shardings."""
-    img_shape = tuple(config.init_shapes[0])
-    txt_shape = tuple(config.init_shapes[1])
+def init_model_params(model, init_shapes, mesh, rng) -> Any:
+    """Initializes a model's params directly into mesh (fsdp) shardings."""
+    img_shape = tuple(init_shapes[0])
+    txt_shape = tuple(init_shapes[1])
 
     def init(rng):
         images = jnp.zeros(img_shape, jnp.float32)
@@ -292,7 +313,13 @@ def init_train_state(model, tx, config, mesh, rng) -> Any:
 
     params_shapes = jax.eval_shape(init, rng)
     fsdp = mesh_lib.fsdp_shardings(params_shapes, mesh)
-    params = jax.jit(init, out_shardings=fsdp)(rng)
+    return jax.jit(init, out_shardings=fsdp)(rng)
+
+
+def init_train_state(model, tx, config, mesh, rng) -> Any:
+    """Initializes params/opt on host then places them with mesh shardings."""
+    params = init_model_params(model, config.init_shapes, mesh, rng)
+    params_shapes = jax.eval_shape(lambda p: p, params)
     opt = jax.jit(tx.init,
                   out_shardings=mesh_lib.fsdp_shardings(
                       jax.eval_shape(tx.init, params_shapes), mesh))(params)
