@@ -24,6 +24,7 @@ from typing import Any, Callable
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 
 from clipa_tpu import losses as losses_lib
@@ -96,6 +97,10 @@ def make_update_fn(model, tx, config, mesh, total_steps: int = 0,
     batch_sharding = mesh_lib.batch_sharding(mesh)
 
     accum_steps = int(config.get("grad_accum_steps", 1))
+    # True -> ln(100) (the CLIP-paper bound); a float sets the max directly.
+    temperature_clamp = config.get("temperature_clamp", False)
+    t_clamp_max = (float(np.log(100.0)) if temperature_clamp is True
+                   else float(temperature_clamp or 0.0))
     apply_loss = _make_loss_dispatch(loss_kind, config, mesh)
     if teacher_model is not None:
         # Same restrictions as the reference trainer (train.py:222-225
@@ -227,6 +232,12 @@ def make_update_fn(model, tx, config, mesh, total_steps: int = 0,
 
         updates, opt = tx.update(grads, opt, params)
         params = optax.apply_updates(params, updates)
+        if temperature_clamp and "t" in params:
+            # Torch-trainer parity knob (clipa_torch/training/train.py:284-286
+            # clamps logit_scale to [0, ln 100] after every step, per the CLIP
+            # paper); the JAX reference trainer does not clamp, so this is
+            # opt-in via config.temperature_clamp = True | max_log_t.
+            params["t"] = jnp.clip(params["t"], 0.0, t_clamp_max)
 
         measurements["training_loss"] = l
         if norm_metrics != "never":

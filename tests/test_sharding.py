@@ -343,3 +343,24 @@ def test_ring_loss_in_step(mesh8):
     np.testing.assert_allclose(losses["ring"], losses["softmax"], rtol=1e-5)
     np.testing.assert_allclose(losses["ring_sigmoid"], losses["sigmoid"],
                                rtol=1e-5)
+
+
+def test_temperature_clamp(mesh8):
+    """config.temperature_clamp mirrors the torch trainer's ln(100) clamp
+    (clipa_torch/training/train.py:284-286). temperature_init 1/0.007 puts
+    log-t ~ 4.96 > ln(100) ~ 4.605, so the very first step must clamp."""
+    model = two_towers.Model(
+        image={"variant": "Ti/16", "pool_type": "tok", "posemb": "sincos2d",
+               "depth": 2, "mlp_dim": 384},
+        text={"variant": "Ti", "pool_type": "last", "vocab_size": 128,
+              "depth": 2, "mlp_dim": 384},
+        out_dim=(64, 64), temperature_init=1 / 0.007)
+    config = _tiny_config(temperature_clamp=True)
+    tx, _ = optim.make(config, _abstract_params(model, config),
+                       sched_kw=dict(total_steps=10))
+    state = step_lib.init_train_state(model, tx, config, mesh8,
+                                      jax.random.PRNGKey(0))
+    assert float(state["params"]["t"][0]) > np.log(100.0)
+    update = step_lib.make_update_fn(model, tx, config, mesh8)
+    state, _ = update(state, local_batch_to_global(_batch(16), mesh8))
+    assert float(state["params"]["t"][0]) <= np.log(100.0) + 1e-6
