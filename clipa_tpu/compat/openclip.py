@@ -94,8 +94,9 @@ def _timm_vision_cfg(v: dict) -> Tuple[str, dict]:
         return "vit", image
     raise NotImplementedError(
         f"timm vision trunk {name!r} has no native tower here (supported: "
-        f"{sorted(_TIMM_CONVNEXT)} + ['vit_medium_patch16_gap_256']); "
-        "swin/resnet/relpos trunks are declared non-goals (SURVEY.md §7).")
+        f"{sorted(_TIMM_CONVNEXT)} + ['vit_medium_patch16_gap_256']; "
+        "ModifiedResNet has its own non-timm tower, models/resnet.py); "
+        "swin/relpos trunks are declared non-goals (SURVEY.md §7).")
 
 
 def _to_two_towers_cfg(cfg: dict, *, image_size=None, pos_embed=None) -> dict:
@@ -115,6 +116,20 @@ def _to_two_towers_cfg(cfg: dict, *, image_size=None, pos_embed=None) -> dict:
         image_model, image = _timm_vision_cfg(v)
         text = _text_tower_cfg(t, quick)
         return dict(image=image, text=text, image_model=image_model,
+                    out_dim=(cfg["embed_dim"], cfg["embed_dim"]),
+                    temperature_init=1 / 0.07)
+    if isinstance(v["layers"], (list, tuple)):
+        # ModifiedResNet (RN*.json): list-valued layers selects the ResNet
+        # tower; attn-pool heads = width*32 // head_width
+        # (clipa_torch/open_clip/model.py _build_vision_tower).
+        image = dict(
+            variant=None,
+            layers=tuple(v["layers"]),
+            width=v["width"],
+            num_heads=v["width"] * 32 // v.get("head_width", 64),
+        )
+        text = _text_tower_cfg(t, quick)
+        return dict(image=image, text=text, image_model="resnet",
                     out_dim=(cfg["embed_dim"], cfg["embed_dim"]),
                     temperature_init=1 / 0.07)
     vision_pool_style = v.get("pool_style", "open_clip")
@@ -172,23 +187,26 @@ class CLIPModel:
     """Stateful convenience wrapper: flax model + params + jitted encoders."""
 
     def __init__(self, model, params, config: dict, image_size: int,
-                 context_length: int):
+                 context_length: int, model_state: Optional[dict] = None):
         self.model = model
         self.params = params
         self.config = config
         self.image_size = image_size
         self.context_length = context_length
+        # Extra flax variable collections beyond "params" — e.g. the
+        # ModifiedResNet towers' BatchNorm running stats ("batch_stats").
+        self.model_state = model_state or {}
 
-        def _encode_image(params, image, normalize):
-            zimg, _, _ = model.apply({"params": params}, image, None)
+        def _encode_image(params, state, image, normalize):
+            zimg, _, _ = model.apply({"params": params, **state}, image, None)
             return zimg if normalize else zimg  # tower output is normalized
 
-        def _encode_text(params, text, normalize):
-            _, ztxt, _ = model.apply({"params": params}, None, text)
+        def _encode_text(params, state, text, normalize):
+            _, ztxt, _ = model.apply({"params": params, **state}, None, text)
             return ztxt
 
-        self._encode_image = jax.jit(_encode_image, static_argnums=2)
-        self._encode_text = jax.jit(_encode_text, static_argnums=2)
+        self._encode_image = jax.jit(_encode_image, static_argnums=3)
+        self._encode_text = jax.jit(_encode_text, static_argnums=3)
 
     def encode_image(self, image, normalize: bool = True):
         image = jnp.asarray(image)
@@ -196,10 +214,12 @@ class CLIPModel:
             image = image[None]
         if image.shape[1] == 3 and image.shape[-1] != 3:
             image = jnp.transpose(image, (0, 2, 3, 1))  # accept NCHW
-        return self._encode_image(self.params, image, normalize)
+        return self._encode_image(self.params, self.model_state, image,
+                                  normalize)
 
     def encode_text(self, text, normalize: bool = True):
-        return self._encode_text(self.params, jnp.asarray(text), normalize)
+        return self._encode_text(self.params, self.model_state,
+                                 jnp.asarray(text), normalize)
 
     @property
     def logit_scale(self):
@@ -228,31 +248,52 @@ def create_model(model_name: str, pretrained: Optional[str] = None, *,
 
     ctx = cfg["text_cfg"]["context_length"]
     rng = jax.random.PRNGKey(seed)
-    params = jax.jit(lambda r: model.init(
+    variables = jax.jit(lambda r: model.init(
         {"params": r}, jnp.zeros((1, image_size, image_size, 3)),
-        jnp.zeros((1, ctx), jnp.int32))["params"])(rng)
+        jnp.zeros((1, ctx), jnp.int32)))(rng)
+    params = variables["params"]
+    model_state = {k: v for k, v in variables.items() if k != "params"}
 
     if pretrained:
-        params = load_checkpoint_params(pretrained, params)
+        params, model_state = load_checkpoint_variables(
+            pretrained, params, model_state)
 
-    return CLIPModel(model, params, cfg, image_size, ctx)
+    return CLIPModel(model, params, cfg, image_size, ctx,
+                     model_state=model_state)
 
 
 def load_checkpoint_params(path: str, init_params):
     """Loads npz (ours) or torch .pt/.bin (open_clip state_dict) weights."""
+    params, _ = load_checkpoint_variables(path, init_params, {})
+    return params
+
+
+def load_checkpoint_variables(path: str, init_params, init_state: dict):
+    """Like load_checkpoint_params but also merges non-param collections
+    (BatchNorm running stats for the ResNet towers)."""
     from clipa_tpu.models.common import merge_params
     from clipa_tpu.train import checkpoint as ckpt
 
+    state = dict(init_state)
     if path.endswith((".pt", ".pth", ".bin")):
         import torch
         sd = torch.load(path, map_location="cpu", weights_only=True)
         sd = sd.get("state_dict", sd)
-        loaded = convert_torch_state_dict(
+        loaded_vars = convert_torch_variables(
             {k: v.numpy() for k, v in sd.items()},
             heads=_heads_from_params(init_params))
+        loaded = loaded_vars["params"]
+        for coll, tree in loaded_vars.items():
+            if coll != "params" and coll in state:
+                state[coll] = merge_params(tree, state[coll])
     else:
         loaded = ckpt.load_params(path)
-    return merge_params(loaded, init_params)
+        # npz checkpoints may carry collections under "<coll>/..." flat keys
+        # (CLIPModel.save writes batch_stats that way).
+        for coll in state:
+            if coll in loaded:
+                state[coll] = merge_params(loaded.pop(coll), state[coll])
+    return merge_params(loaded, init_params), state
 
 
 def _heads_from_params(params) -> dict:
@@ -287,7 +328,8 @@ class _ConsumingDict(dict):
 
 
 # state_dict entries that carry no weights we need (buffers etc.).
-_IGNORABLE_TORCH_KEYS = ("attn_mask", "position_ids", "logit_bias")
+_IGNORABLE_TORCH_KEYS = ("attn_mask", "position_ids", "logit_bias",
+                         "num_batches_tracked")
 
 
 def convert_torch_state_dict(sd: dict[str, np.ndarray], *,
@@ -295,10 +337,22 @@ def convert_torch_state_dict(sd: dict[str, np.ndarray], *,
                              heads: Optional[dict] = None) -> dict:
     """open_clip torch state_dict -> our parameter tree (weight converter).
 
+    ViT-tower convenience wrapper around convert_torch_variables (which
+    also returns BatchNorm running stats for ModifiedResNet towers)."""
+    return convert_torch_variables(sd, strict=strict, heads=heads)["params"]
+
+
+def convert_torch_variables(sd: dict[str, np.ndarray], *,
+                            strict: bool = True,
+                            heads: Optional[dict] = None) -> dict:
+    """open_clip torch state_dict -> flax variables {"params": ...,
+    ["batch_stats": ...]} (weight converter).
+
     Handles both `CLIP` (text attrs at top level) and `CustomTextCLIP`
-    (`text.`-prefixed) layouts (clipa_torch/open_clip/model.py:200/277).
-    With strict=True (default) raises if any state-dict tensor other than
-    known non-weight buffers is left unconsumed.
+    (`text.`-prefixed) layouts (clipa_torch/open_clip/model.py:200/277),
+    with either a ViT or a ModifiedResNet visual tower. With strict=True
+    (default) raises if any state-dict tensor other than known non-weight
+    buffers is left unconsumed.
     """
     from clipa_tpu import utils as u
 
@@ -309,6 +363,7 @@ def convert_torch_state_dict(sd: dict[str, np.ndarray], *,
     else:
         tprefix = ""
     flat: dict[str, np.ndarray] = {}
+    stats: dict[str, np.ndarray] = {}
 
     def put(name, val):
         flat[name] = np.asarray(val)
@@ -317,19 +372,22 @@ def convert_torch_state_dict(sd: dict[str, np.ndarray], *,
     put("t", np.asarray(sd["logit_scale"]).reshape(1))
 
     # ---- image tower ----
-    conv = sd["visual.conv1.weight"]  # (width, 3, p, p)
-    put("img/embedding/kernel", conv.transpose(2, 3, 1, 0))
-    put("img/cls", sd["visual.class_embedding"].reshape(1, 1, -1))
-    put("img/pos_embedding", sd["visual.positional_embedding"][None])
-    if "visual.proj" in sd:
-        put("img/head/kernel", sd["visual.proj"])
-    if "visual.ln_pre.weight" in sd:
-        put("img/ln_pre/scale", sd["visual.ln_pre.weight"])
-        put("img/ln_pre/bias", sd["visual.ln_pre.bias"])
-    put("img/encoder_norm/scale", sd["visual.ln_post.weight"])
-    put("img/encoder_norm/bias", sd["visual.ln_post.bias"])
-    _convert_blocks(sd, "visual.transformer.resblocks", "img", put,
-                    heads=(heads or {}).get("img"))
+    if "visual.attnpool.positional_embedding" in sd:
+        _convert_resnet_visual(sd, put, stats)
+    else:
+        conv = sd["visual.conv1.weight"]  # (width, 3, p, p)
+        put("img/embedding/kernel", conv.transpose(2, 3, 1, 0))
+        put("img/cls", sd["visual.class_embedding"].reshape(1, 1, -1))
+        put("img/pos_embedding", sd["visual.positional_embedding"][None])
+        if "visual.proj" in sd:
+            put("img/head/kernel", sd["visual.proj"])
+        if "visual.ln_pre.weight" in sd:
+            put("img/ln_pre/scale", sd["visual.ln_pre.weight"])
+            put("img/ln_pre/bias", sd["visual.ln_pre.bias"])
+        put("img/encoder_norm/scale", sd["visual.ln_post.weight"])
+        put("img/encoder_norm/bias", sd["visual.ln_post.bias"])
+        _convert_blocks(sd, "visual.transformer.resblocks", "img", put,
+                        heads=(heads or {}).get("img"))
 
     # ---- text tower ----
     put("txt/Embed_0/embedding", sd[f"{tprefix}token_embedding.weight"])
@@ -344,11 +402,55 @@ def convert_torch_state_dict(sd: dict[str, np.ndarray], *,
                 if not k.endswith(_IGNORABLE_TORCH_KEYS)]
     if leftover and strict:
         raise ValueError(
-            f"convert_torch_state_dict left {len(leftover)} state-dict "
+            f"convert_torch_variables left {len(leftover)} state-dict "
             f"entries unconsumed (model family not fully supported; "
             f"loading would silently drop weights): {leftover[:10]}")
 
-    return u.recover_tree(list(flat.keys()), list(flat.values()))
+    out = {"params": u.recover_tree(list(flat.keys()), list(flat.values()))}
+    if stats:
+        out["batch_stats"] = u.recover_tree(list(stats.keys()),
+                                            list(stats.values()))
+    return out
+
+
+def _convert_resnet_visual(sd, put, stats: dict):
+    """ModifiedResNet visual tower: torch `visual.*` -> img/* params plus
+    BatchNorm running stats (clipa_torch/open_clip/modified_resnet.py)."""
+    def conv(torch_key, our):
+        put(f"img/{our}/kernel", sd[f"visual.{torch_key}.weight"]
+            .transpose(2, 3, 1, 0))
+
+    def bn(torch_key, our):
+        put(f"img/{our}/scale", sd[f"visual.{torch_key}.weight"])
+        put(f"img/{our}/bias", sd[f"visual.{torch_key}.bias"])
+        stats[f"img/{our}/mean"] = np.asarray(
+            sd[f"visual.{torch_key}.running_mean"])
+        stats[f"img/{our}/var"] = np.asarray(
+            sd[f"visual.{torch_key}.running_var"])
+
+    for i in (1, 2, 3):  # the 3-conv stem
+        conv(f"conv{i}", f"conv{i}")
+        bn(f"bn{i}", f"bn{i}")
+    for layer in (1, 2, 3, 4):
+        j = 0
+        while f"visual.layer{layer}.{j}.conv1.weight" in sd:
+            t, o = f"layer{layer}.{j}", f"layer{layer}_{j}"
+            for i in (1, 2, 3):
+                conv(f"{t}.conv{i}", f"{o}/conv{i}")
+                bn(f"{t}.bn{i}", f"{o}/bn{i}")
+            # downsample OrderedDict: "-1"=avgpool, "0"=conv, "1"=bn
+            # (modified_resnet.py:36-40)
+            if f"visual.{t}.downsample.0.weight" in sd:
+                conv(f"{t}.downsample.0", f"{o}/downsample_conv")
+                bn(f"{t}.downsample.1", f"{o}/downsample_bn")
+            j += 1
+    put("img/attnpool/pos_embedding",
+        sd["visual.attnpool.positional_embedding"])
+    for p in ("q", "k", "v", "c"):
+        put(f"img/attnpool/{p}_proj/kernel",
+            sd[f"visual.attnpool.{p}_proj.weight"].T)
+        put(f"img/attnpool/{p}_proj/bias",
+            sd[f"visual.attnpool.{p}_proj.bias"])
 
 
 def _convert_blocks(sd, prefix, tower, put, heads=None):
@@ -387,27 +489,19 @@ def _convert_blocks(sd, prefix, tower, put, heads=None):
         put(f"{o}/MlpBlock_0/Dense_1/bias", sd[f"{b}.mlp.c_proj.bias"])
 
 
-def export_torch_state_dict(params) -> dict:
+def export_torch_state_dict(params, batch_stats=None) -> dict:
     """Our parameter tree -> open_clip torch state_dict layout (inverse of
-    convert_torch_state_dict) for users moving checkpoints the other way."""
+    convert_torch_variables) for users moving checkpoints the other way.
+    `batch_stats` supplies BatchNorm running stats for ResNet towers."""
     from clipa_tpu import utils as u
 
     flat = dict(u.tree_flatten_with_names(params)[0])
     sd: dict[str, np.ndarray] = {}
     sd["logit_scale"] = np.asarray(flat["t"]).reshape(())
-    sd["visual.conv1.weight"] = np.asarray(
-        flat["img/embedding/kernel"]).transpose(3, 2, 0, 1)
-    sd["visual.class_embedding"] = np.asarray(flat["img/cls"]).reshape(-1)
-    if "img/pos_embedding" in flat:
-        sd["visual.positional_embedding"] = np.asarray(
-            flat["img/pos_embedding"])[0]
-    if "img/head/kernel" in flat:
-        sd["visual.proj"] = np.asarray(flat["img/head/kernel"])
-    sd["visual.ln_post.weight"] = np.asarray(flat["img/encoder_norm/scale"])
-    sd["visual.ln_post.bias"] = np.asarray(flat["img/encoder_norm/bias"])
-    if "img/ln_pre/scale" in flat:
-        sd["visual.ln_pre.weight"] = np.asarray(flat["img/ln_pre/scale"])
-        sd["visual.ln_pre.bias"] = np.asarray(flat["img/ln_pre/bias"])
+    if "img/attnpool/pos_embedding" in flat:
+        _export_resnet_visual(flat, batch_stats, sd)
+    else:
+        _export_vit_visual(flat, sd)
     sd["token_embedding.weight"] = np.asarray(flat["txt/Embed_0/embedding"])
     sd["positional_embedding"] = np.asarray(flat["txt/pos_embedding"])[0]
     sd["text_projection"] = np.asarray(flat["txt/head/kernel"])
@@ -445,6 +539,65 @@ def export_torch_state_dict(params) -> dict:
                 flat[f"{o}/MlpBlock_0/Dense_1/bias"])
             i += 1
     return sd
+
+
+def _export_vit_visual(flat, sd):
+    sd["visual.conv1.weight"] = np.asarray(
+        flat["img/embedding/kernel"]).transpose(3, 2, 0, 1)
+    sd["visual.class_embedding"] = np.asarray(flat["img/cls"]).reshape(-1)
+    if "img/pos_embedding" in flat:
+        sd["visual.positional_embedding"] = np.asarray(
+            flat["img/pos_embedding"])[0]
+    if "img/head/kernel" in flat:
+        sd["visual.proj"] = np.asarray(flat["img/head/kernel"])
+    sd["visual.ln_post.weight"] = np.asarray(flat["img/encoder_norm/scale"])
+    sd["visual.ln_post.bias"] = np.asarray(flat["img/encoder_norm/bias"])
+    if "img/ln_pre/scale" in flat:
+        sd["visual.ln_pre.weight"] = np.asarray(flat["img/ln_pre/scale"])
+        sd["visual.ln_pre.bias"] = np.asarray(flat["img/ln_pre/bias"])
+
+
+def _export_resnet_visual(flat, batch_stats, sd):
+    """img/* ModifiedResNet params (+ batch_stats) -> torch visual.* keys."""
+    from clipa_tpu import utils as u
+
+    stats = dict(u.tree_flatten_with_names(batch_stats)[0]
+                 ) if batch_stats else {}
+
+    def conv(our, torch_key):
+        sd[f"visual.{torch_key}.weight"] = np.asarray(
+            flat[f"img/{our}/kernel"]).transpose(3, 2, 0, 1)
+
+    def bn(our, torch_key):
+        sd[f"visual.{torch_key}.weight"] = np.asarray(flat[f"img/{our}/scale"])
+        sd[f"visual.{torch_key}.bias"] = np.asarray(flat[f"img/{our}/bias"])
+        c = sd[f"visual.{torch_key}.weight"].shape[0]
+        sd[f"visual.{torch_key}.running_mean"] = np.asarray(
+            stats.get(f"img/{our}/mean", np.zeros(c, np.float32))).reshape(c)
+        sd[f"visual.{torch_key}.running_var"] = np.asarray(
+            stats.get(f"img/{our}/var", np.ones(c, np.float32))).reshape(c)
+
+    for i in (1, 2, 3):
+        conv(f"conv{i}", f"conv{i}")
+        bn(f"bn{i}", f"bn{i}")
+    for layer in (1, 2, 3, 4):
+        j = 0
+        while f"img/layer{layer}_{j}/conv1/kernel" in flat:
+            o, t = f"layer{layer}_{j}", f"layer{layer}.{j}"
+            for i in (1, 2, 3):
+                conv(f"{o}/conv{i}", f"{t}.conv{i}")
+                bn(f"{o}/bn{i}", f"{t}.bn{i}")
+            if f"img/{o}/downsample_conv/kernel" in flat:
+                conv(f"{o}/downsample_conv", f"{t}.downsample.0")
+                bn(f"{o}/downsample_bn", f"{t}.downsample.1")
+            j += 1
+    sd["visual.attnpool.positional_embedding"] = np.asarray(
+        flat["img/attnpool/pos_embedding"])
+    for p in ("q", "k", "v", "c"):
+        sd[f"visual.attnpool.{p}_proj.weight"] = np.asarray(
+            flat[f"img/attnpool/{p}_proj/kernel"]).T
+        sd[f"visual.attnpool.{p}_proj.bias"] = np.asarray(
+            flat[f"img/attnpool/{p}_proj/bias"])
 
 
 # ---------------------------------------------------------------------------
@@ -595,11 +748,34 @@ def create_model_from_pretrained(model_name: str, pretrained: str, **kw):
 
 def _infer_openai_config(sd: dict) -> dict:
     """open_clip model-config dict from an OpenAI CLIP state dict's shapes
-    (clipa_torch/open_clip/model.py:376-419). ViT towers only — ResNet
-    towers are an explicit non-goal (SURVEY.md §7)."""
-    if "visual.proj" not in sd:
-        raise ValueError("Only ViT OpenAI checkpoints are supported "
-                         "(ResNet towers are out of scope)")
+    (clipa_torch/open_clip/model.py:376-419), ViT or ModifiedResNet."""
+    text_width = sd["ln_final.weight"].shape[0]
+    text_cfg = {
+        "context_length": int(sd["positional_embedding"].shape[0]),
+        "vocab_size": int(sd["token_embedding.weight"].shape[0]),
+        "width": int(text_width),
+        "heads": max(1, int(text_width // 64)),
+        "layers": len({k.split(".")[2] for k in sd
+                       if k.startswith("transformer.resblocks")}),
+    }
+    if "visual.attnpool.positional_embedding" in sd:
+        # ModifiedResNet (model.py:388-397): per-stage block counts from the
+        # layer indices; image size from the attn-pool grid (x32 stride).
+        counts = [len({k.split(".")[2] for k in sd
+                       if k.startswith(f"visual.layer{b}.")})
+                  for b in (1, 2, 3, 4)]
+        width = int(sd["visual.layer1.0.conv1.weight"].shape[0])
+        grid = round((sd["visual.attnpool.positional_embedding"].shape[0]
+                      - 1) ** 0.5)
+        return {
+            "embed_dim": int(sd["text_projection"].shape[1]),
+            "quick_gelu": True,
+            "vision_cfg": {
+                "layers": counts, "width": width, "patch_size": None,
+                "image_size": int(grid * 32),
+            },
+            "text_cfg": text_cfg,
+        }
     vision_width = sd["visual.conv1.weight"].shape[0]
     vision_layers = len([k for k in sd if k.startswith("visual.")
                          and k.endswith(".attn.in_proj_weight")])
@@ -649,12 +825,18 @@ def load_openai_model(path: str, *, precision: str = "float32",
     model = two_towers.Model(dtype=dtype, **tt_cfg)
     image_size = cfg["vision_cfg"]["image_size"]
     ctx = cfg["text_cfg"]["context_length"]
-    params = jax.jit(lambda r: model.init(
+    variables = jax.jit(lambda r: model.init(
         {"params": r}, jnp.zeros((1, image_size, image_size, 3)),
-        jnp.zeros((1, ctx), jnp.int32))["params"])(jax.random.PRNGKey(seed))
+        jnp.zeros((1, ctx), jnp.int32)))(jax.random.PRNGKey(seed))
+    params = variables["params"]
+    model_state = {k: v for k, v in variables.items() if k != "params"}
 
     from clipa_tpu.models.common import merge_params
-    loaded = convert_torch_state_dict(sd_np,
-                                      heads=_heads_from_params(params))
-    params = merge_params(loaded, params)
-    return CLIPModel(model, params, cfg, image_size, ctx)
+    loaded_vars = convert_torch_variables(sd_np,
+                                          heads=_heads_from_params(params))
+    params = merge_params(loaded_vars["params"], params)
+    for coll, tree in loaded_vars.items():
+        if coll != "params" and coll in model_state:
+            model_state[coll] = merge_params(tree, model_state[coll])
+    return CLIPModel(model, params, cfg, image_size, ctx,
+                     model_state=model_state)

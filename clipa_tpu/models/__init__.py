@@ -11,6 +11,7 @@ def get_model_module(name: str):
         "proj.image_text.text_transformer": "clipa_tpu.models.text",
         "two_towers": "clipa_tpu.models.two_towers",
         "convnext": "clipa_tpu.models.convnext",
+        "resnet": "clipa_tpu.models.resnet",
         "bert": "clipa_tpu.models.bert",
         "proj.flaxformer.bert": "clipa_tpu.models.bert",
     }

@@ -20,8 +20,8 @@ def test_list_models():
 
 
 # Tower families the rebuild deliberately does not carry (SURVEY §7
-# non-goals): ResNets, CoCa, HF text encoders, timm vision backbones.
-_ZOO_NON_GOAL_PREFIXES = ("RN", "coca_", "mt5-", "roberta-", "xlm-roberta-",
+# non-goals): CoCa, HF text encoders, timm-only vision backbones.
+_ZOO_NON_GOAL_PREFIXES = ("coca_", "mt5-", "roberta-", "xlm-roberta-",
                           "swin_", "vit_relpos_")
 
 
@@ -379,10 +379,176 @@ def test_load_openai_model(tmp_path):
                                1.0, rtol=1e-4)
 
 
-def test_infer_openai_config_rejects_resnet():
-    sd = {"visual.layer1.0.conv1.weight": np.zeros((4, 3, 3, 3))}
-    with pytest.raises(ValueError, match="ViT"):
-        openclip._infer_openai_config(sd)
+def _tiny_rn_cfg():
+    return {
+        "embed_dim": 16,
+        "vision_cfg": {"image_size": 32, "layers": [1, 1, 1, 1],
+                       "width": 16, "patch_size": None},
+        "text_cfg": {"context_length": 8, "vocab_size": 64, "width": 32,
+                     "heads": 2, "layers": 1},
+    }
+
+
+def test_resnet_config_builds_and_encodes():
+    """RN*.json -> ModifiedResNet tower: builds, normalizes, BN stats
+    carried as model_state (modified_resnet.py:95-181 parity surface)."""
+    tt = openclip._to_two_towers_cfg(_tiny_rn_cfg())
+    assert tt["image_model"] == "resnet"
+    assert tt["image"]["num_heads"] == 16 * 32 // 64
+    from clipa_tpu.models import two_towers
+    model = two_towers.Model(**tt)
+    variables = model.init({"params": jax.random.PRNGKey(0)},
+                           jnp.zeros((1, 32, 32, 3)),
+                           jnp.zeros((1, 8), jnp.int32))
+    assert "batch_stats" in variables
+    zimg, ztxt, _ = model.apply(variables, jnp.ones((2, 32, 32, 3)) * 0.5,
+                                jnp.zeros((2, 8), jnp.int32))
+    assert zimg.shape == (2, 16) and ztxt.shape == (2, 16)
+    np.testing.assert_allclose(np.linalg.norm(np.asarray(zimg), axis=-1),
+                               1.0, rtol=1e-5)
+
+
+def test_resnet_torch_roundtrip():
+    """params+batch_stats -> torch state dict -> back, bit-exact."""
+    from clipa_tpu.models import two_towers
+    tt = openclip._to_two_towers_cfg(_tiny_rn_cfg())
+    model = two_towers.Model(**tt)
+    rng = jax.random.PRNGKey(3)
+    variables = model.init({"params": rng}, jnp.zeros((1, 32, 32, 3)),
+                           jnp.zeros((1, 8), jnp.int32))
+    params, stats = variables["params"], variables["batch_stats"]
+    # make running stats distinctive so the round-trip is meaningful
+    stats = jax.tree_util.tree_map(
+        lambda x: x + np.random.RandomState(0).rand(*x.shape)
+        .astype(np.float32), stats)
+    sd = openclip.export_torch_state_dict(params, stats)
+    back = openclip.convert_torch_variables(
+        sd, heads=openclip._heads_from_params(params))
+    flat_a = dict(u.tree_flatten_with_names(params)[0])
+    flat_b = dict(u.tree_flatten_with_names(back["params"])[0])
+    assert set(flat_a) == set(flat_b)
+    for k in flat_a:
+        np.testing.assert_array_equal(np.asarray(flat_a[k]),
+                                      np.asarray(flat_b[k]), err_msg=k)
+    sa = dict(u.tree_flatten_with_names(stats)[0])
+    sb = dict(u.tree_flatten_with_names(back["batch_stats"])[0])
+    assert set(sa) == set(sb)
+    for k in sa:
+        np.testing.assert_array_equal(np.asarray(sa[k]),
+                                      np.asarray(sb[k]), err_msg=k)
+
+
+def test_resnet_semantics_match_torch_reference():
+    """ModifiedResNet visual tower must match a float64 torch forward
+    written from the reference spec (modified_resnet.py:10-92): stem,
+    anti-aliased bottlenecks, and the single-query attention pool."""
+    torch = pytest.importorskip("torch")
+    import torch.nn.functional as F
+
+    from clipa_tpu.models import two_towers
+    tt = openclip._to_two_towers_cfg(_tiny_rn_cfg())
+    rng = np.random.RandomState(0)
+    img = rng.rand(2, 32, 32, 3).astype(np.float32)
+
+    jax.config.update("jax_enable_x64", True)
+    try:
+        model = two_towers.Model(dtype=jnp.float64, **tt)
+        variables = model.init({"params": jax.random.PRNGKey(1)},
+                               jnp.asarray(img),
+                               jnp.zeros((1, 8), jnp.int64))
+        params, stats = variables["params"], variables["batch_stats"]
+        # distinctive running stats: eval-mode BN must actually use them
+        stats = jax.tree_util.tree_map(
+            lambda x: x + 0.5 * np.abs(rng.rand(*x.shape)), stats)
+        zimg, _, _ = model.apply({"params": params, "batch_stats": stats},
+                                 jnp.asarray(img), None)
+        zimg = np.asarray(zimg)
+        sd = {k: torch.tensor(np.asarray(v), dtype=torch.float64)
+              for k, v in openclip.export_torch_state_dict(
+                  params, stats).items()}
+    finally:
+        jax.config.update("jax_enable_x64", False)
+
+    def bn(x, p):
+        return F.batch_norm(x, sd[f"{p}.running_mean"],
+                            sd[f"{p}.running_var"], sd[f"{p}.weight"],
+                            sd[f"{p}.bias"], training=False, eps=1e-5)
+
+    def bottleneck(x, p, stride):
+        out = F.relu(bn(F.conv2d(x, sd[f"{p}.conv1.weight"]), f"{p}.bn1"))
+        out = F.relu(bn(F.conv2d(out, sd[f"{p}.conv2.weight"], padding=1),
+                        f"{p}.bn2"))
+        if stride > 1:
+            out = F.avg_pool2d(out, stride)
+        out = bn(F.conv2d(out, sd[f"{p}.conv3.weight"]), f"{p}.bn3")
+        if f"{p}.downsample.0.weight" in sd:
+            idn = F.avg_pool2d(x, stride) if stride > 1 else x
+            idn = bn(F.conv2d(idn, sd[f"{p}.downsample.0.weight"]),
+                     f"{p}.downsample.1")
+        else:
+            idn = x
+        return F.relu(out + idn)
+
+    x = torch.tensor(img.transpose(0, 3, 1, 2), dtype=torch.float64)
+    x = F.relu(bn(F.conv2d(x, sd["visual.conv1.weight"], stride=2,
+                           padding=1), "visual.bn1"))
+    x = F.relu(bn(F.conv2d(x, sd["visual.conv2.weight"], padding=1),
+                  "visual.bn2"))
+    x = F.relu(bn(F.conv2d(x, sd["visual.conv3.weight"], padding=1),
+                  "visual.bn3"))
+    x = F.avg_pool2d(x, 2)
+    for layer in (1, 2, 3, 4):
+        x = bottleneck(x, f"visual.layer{layer}.0",
+                       stride=1 if layer == 1 else 2)
+
+    # AttentionPool2d (modified_resnet.py:68-92): mean-prepend, posemb,
+    # full multi-head attention, keep the pooled query's output row.
+    b, c, h, w = x.shape
+    x = x.reshape(b, c, h * w).permute(2, 0, 1)          # (HW) N C
+    x = torch.cat([x.mean(dim=0, keepdim=True), x], dim=0)
+    x = x + sd["visual.attnpool.positional_embedding"][:, None, :]
+    heads = 16 * 32 // 64
+    out, _ = F.multi_head_attention_forward(
+        query=x, key=x, value=x, embed_dim_to_check=c, num_heads=heads,
+        q_proj_weight=sd["visual.attnpool.q_proj.weight"],
+        k_proj_weight=sd["visual.attnpool.k_proj.weight"],
+        v_proj_weight=sd["visual.attnpool.v_proj.weight"],
+        in_proj_weight=None,
+        in_proj_bias=torch.cat([sd["visual.attnpool.q_proj.bias"],
+                                sd["visual.attnpool.k_proj.bias"],
+                                sd["visual.attnpool.v_proj.bias"]]),
+        bias_k=None, bias_v=None, add_zero_attn=False, dropout_p=0.0,
+        out_proj_weight=sd["visual.attnpool.c_proj.weight"],
+        out_proj_bias=sd["visual.attnpool.c_proj.bias"],
+        use_separate_proj_weight=True, need_weights=False)
+    zimg_t = out[0]
+    zimg_t = zimg_t / zimg_t.norm(dim=-1, keepdim=True)
+    # the tower returns float32 (models/resnet.py _Model return cast), so
+    # agreement is bounded by f32 rounding; semantic bugs show at >=1e-5.
+    np.testing.assert_allclose(zimg, zimg_t.numpy(), atol=1e-6,
+                               err_msg="ModifiedResNet semantics diverge")
+
+
+def test_infer_openai_config_resnet():
+    """OpenAI RN checkpoints: architecture inferred from layer counts and
+    the attn-pool grid (open_clip model.py:388-397)."""
+    sd = {
+        "visual.layer1.0.conv1.weight": np.zeros((16, 16, 1, 1)),
+        "visual.layer2.0.conv1.weight": np.zeros((32, 64, 1, 1)),
+        "visual.layer3.0.conv1.weight": np.zeros((64, 128, 1, 1)),
+        "visual.layer4.0.conv1.weight": np.zeros((128, 256, 1, 1)),
+        "visual.attnpool.positional_embedding": np.zeros((2, 512)),
+        "text_projection": np.zeros((32, 16)),
+        "ln_final.weight": np.zeros(32),
+        "positional_embedding": np.zeros((8, 32)),
+        "token_embedding.weight": np.zeros((64, 32)),
+        "transformer.resblocks.0.ln_1.weight": np.zeros(32),
+    }
+    cfg = openclip._infer_openai_config(sd)
+    assert cfg["vision_cfg"]["layers"] == [1, 1, 1, 1]
+    assert cfg["vision_cfg"]["width"] == 16
+    assert cfg["vision_cfg"]["image_size"] == 32
+    assert cfg["quick_gelu"] is True
 
 
 def test_quick_gelu_differs_from_erf():
