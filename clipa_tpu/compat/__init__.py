@@ -1,6 +1,7 @@
 """open_clip-compatible public API (the surface downstream users call)."""
 
 from clipa_tpu.compat.openclip import (  # noqa: F401
+    create_loss,
     create_model,
     create_model_and_transforms,
     create_model_from_pretrained,

@@ -165,6 +165,52 @@ def _to_two_towers_cfg(cfg: dict, *, image_size=None, pos_embed=None) -> dict:
                 temperature_init=1 / 0.07)
 
 
+def _to_coca_cfg(cfg: dict) -> dict:
+    """coca_*.json -> clipa_tpu.models.coca.Model kwargs.
+
+    Field semantics follow the reference dataclasses (coca_model.py:44-50
+    MultimodalCfg; decoder ignores its n_queries/attn_pooler_heads — only
+    the vision tower's attentional pool uses those)."""
+    v, t, m = cfg["vision_cfg"], cfg["text_cfg"], cfg["multimodal_cfg"]
+    quick = bool(cfg.get("quick_gelu"))
+    width = v["width"]
+    image = dict(
+        variant=None,
+        width=width,
+        depth=v["layers"],
+        num_heads=width // v.get("head_width", 64),
+        mlp_dim=int(round(width * v.get("mlp_ratio", 4.0))),
+        patch_size=(v["patch_size"], v["patch_size"]),
+        posemb="learn",
+        ln_pre=bool(v.get("ln_pre", True)),
+        gelu_approx="quick" if quick else
+        (v.get("gelu_approximate", "none") == "tanh"),
+        ln_eps=1e-5,
+    )
+    text = _text_tower_cfg(t, quick)
+    text["embed_cls"] = True
+    # fixed posemb capacity = context_length + 1 (reference num_pos,
+    # transformer.py:559-578; one row beyond the post-truncation length,
+    # matching the torch parameter shape for checkpoint parity).
+    text["context_length"] = t["context_length"]
+    mm = dict(
+        vocab_size=m["vocab_size"],
+        width=m["width"],
+        depth=m["layers"],
+        num_heads=m["heads"],
+        mlp_dim=int(round(m["width"] * m.get("mlp_ratio", 4.0))),
+        gelu_approx="quick" if quick else False,
+    )
+    return dict(
+        image=image, text=text, multimodal_cfg=mm,
+        out_dim=cfg["embed_dim"],
+        attentional_pool=bool(v.get("attentional_pool")),
+        n_queries=int(v.get("n_queries", 256)),
+        attn_pooler_heads=int(v.get("attn_pooler_heads", 8)),
+        temperature_init=1 / 0.07,
+    )
+
+
 def _text_tower_cfg(t: dict, quick: bool) -> dict:
     text_pool = {"big_vision_last": "last", "big_vision_tok": "tok",
                  "open_clip": "eot"}[t.get("pool_style", "open_clip")]
@@ -231,6 +277,177 @@ class CLIPModel:
         return zimg, ztxt, self.logit_scale
 
 
+class CoCaModel(CLIPModel):
+    """CLIPModel + caption generation (reference CoCa.generate,
+    clipa_torch/open_clip/coca_model.py:167-288).
+
+    Sampling (top_k / top_p) uses the transformers logits warpers — the
+    exact processors the reference uses — around a jitted fixed-length
+    decode (the prefix is padded to seq_len so one XLA program serves every
+    step; causal masking makes the pad suffix inert). Beam search implements
+    the reference's grouped protocol (independent sub-beam groups, 2x
+    over-candidates, score = mean log-prob at length_penalty 1.0) in numpy
+    on the host around the same jitted step.
+    """
+
+    def _decode_logits_fn(self):
+        if not hasattr(self, "_decode_jit"):
+            model = self.model
+            def decode(params, state, image, tokens):
+                _, _, out = model.apply({"params": params, **state}, image,
+                                        tokens, embed_cls=False)
+                return out["logits"]
+            self._decode_jit = jax.jit(decode)
+        return self._decode_jit
+
+    def generate(self, image, text=None, seq_len=30, max_seq_len=77,
+                 temperature=1.0, generation_type="beam_search",
+                 top_p=0.1, top_k=1, pad_token_id=None, eos_token_id=None,
+                 sot_token_id=None, num_beams=6, num_beam_groups=3,
+                 min_seq_len=5, repetition_penalty=1.0,
+                 fixed_output_length=False, seed=0):
+        import torch
+        from transformers import (LogitsProcessorList,
+                                  MinLengthLogitsProcessor,
+                                  RepetitionPenaltyLogitsProcessor,
+                                  TopKLogitsWarper, TopPLogitsWarper)
+
+        sot = 49406 if sot_token_id is None else int(sot_token_id)
+        eos = 49407 if eos_token_id is None else int(eos_token_id)
+        pad = (int(self.config.get("pad_id", 0)) if pad_token_id is None
+               else int(pad_token_id))
+        assert seq_len > min_seq_len, "seq_len must exceed min_seq_len"
+
+        image = jnp.asarray(image)
+        if image.ndim == 3:
+            image = image[None]
+        if image.shape[1] == 3 and image.shape[-1] != 3:
+            image = jnp.transpose(image, (0, 2, 3, 1))
+        b = image.shape[0]
+        processors = LogitsProcessorList([
+            MinLengthLogitsProcessor(min_seq_len, eos_token_id=eos),
+            RepetitionPenaltyLogitsProcessor(repetition_penalty),
+        ])
+        decode = self._decode_logits_fn()
+
+        def step_logits(tokens_np, cur_len):
+            """Next-token logits for each row of a (b', cur_len) prefix."""
+            buf = np.full((tokens_np.shape[0], seq_len), pad, np.int32)
+            buf[:, :cur_len] = tokens_np
+            logits = decode(self.params, self.model_state, image_rep,
+                            jnp.asarray(buf))
+            return np.asarray(logits[:, cur_len - 1], np.float32)
+
+        if generation_type == "beam_search":
+            image_rep = jnp.repeat(image, num_beams, axis=0)
+            out = self._beam_search(
+                step_logits, batch_size=b, num_beams=num_beams,
+                num_beam_groups=num_beam_groups, seq_len=seq_len,
+                sot=sot, eos=eos, pad=pad, processors=processors)
+            if fixed_output_length and out.shape[1] < seq_len:
+                out = np.concatenate(
+                    [out, np.full((b, seq_len - out.shape[1]), pad,
+                                  out.dtype)], axis=1)
+            return out
+
+        if generation_type == "top_p":
+            warper = TopPLogitsWarper(top_p)
+        elif generation_type == "top_k":
+            warper = TopKLogitsWarper(top_k)
+        else:
+            raise ValueError(
+                "generation_type must be top_k | top_p | beam_search")
+
+        image_rep = image
+        rng = np.random.default_rng(seed)
+        if text is None:
+            out = np.full((b, 1), sot, np.int64)
+        else:
+            out = np.asarray(text, np.int64)
+            if out.ndim == 1:
+                out = out[None]
+        while out.shape[1] < seq_len:
+            cur = out[:, -max_seq_len:]
+            logits = step_logits(cur.astype(np.int32), cur.shape[1])
+            done = (out[:, -1] == eos) | (out[:, -1] == pad)
+            if done.all() and not fixed_output_length:
+                break
+            t_logits = torch.tensor(logits)
+            t_prefix = torch.tensor(cur)
+            filtered = processors(t_prefix, t_logits)
+            filtered = warper(t_prefix, filtered)
+            probs = torch.softmax(filtered / temperature, dim=-1).numpy()
+            if out.shape[1] + 1 == seq_len:
+                sample = np.full((b,), eos, np.int64)
+            else:
+                sample = np.array(
+                    [rng.choice(probs.shape[1], p=p / p.sum())
+                     for p in probs], np.int64)
+            sample = np.where(done, pad, sample)
+            out = np.concatenate([out, sample[:, None]], axis=1)
+        return out
+
+    def _beam_search(self, step_logits, *, batch_size, num_beams,
+                     num_beam_groups, seq_len, sot, eos, pad, processors):
+        import torch
+        g = num_beams // num_beam_groups
+        tokens = np.full((batch_size * num_beams, 1), sot, np.int64)
+        # first beam of each group live, rest -1e9 (coca_model.py:335-339)
+        scores = np.full((batch_size, num_beams), -1e9, np.float32)
+        scores[:, ::g] = 0.0
+        scores = scores.reshape(-1)
+        done_hyps = [[] for _ in range(batch_size)]  # (score, tokens)
+
+        for cur_len in range(1, seq_len):
+            logits = step_logits(tokens.astype(np.int32), cur_len)
+            logp = torch.log_softmax(torch.tensor(logits), dim=-1)
+            logp = processors(torch.tensor(tokens), logp).numpy()
+            vocab = logp.shape[-1]
+            next_tokens = np.zeros((batch_size * num_beams,), np.int64)
+            reorder = np.arange(batch_size * num_beams)
+            for grp in range(num_beam_groups):
+                idx = np.concatenate(
+                    [np.arange(grp * g, grp * g + g) + bi * num_beams
+                     for bi in range(batch_size)])
+                cand = (logp[idx] + scores[idx, None]).reshape(
+                    batch_size, g * vocab)
+                top = np.argsort(-cand, axis=1)[:, :2 * g]
+                top_scores = np.take_along_axis(cand, top, axis=1)
+                for bi in range(batch_size):
+                    kept = 0
+                    for rank in range(2 * g):
+                        beam = int(top[bi, rank] // vocab)
+                        tok = int(top[bi, rank] % vocab)
+                        sc = float(top_scores[bi, rank])
+                        src = bi * num_beams + grp * g + beam
+                        if tok == eos:
+                            done_hyps[bi].append(
+                                (sc / cur_len, tokens[src].copy()))
+                            continue
+                        dst = bi * num_beams + grp * g + kept
+                        reorder[dst] = src
+                        next_tokens[dst] = tok
+                        scores[dst] = sc
+                        kept += 1
+                        if kept == g:
+                            break
+            tokens = np.concatenate(
+                [tokens[reorder], next_tokens[:, None]], axis=1)
+        # finalize: open beams compete with finished hypotheses
+        for bi in range(batch_size):
+            for beam in range(num_beams):
+                src = bi * num_beams + beam
+                done_hyps[bi].append(
+                    (scores[src] / (seq_len - 1), tokens[src].copy()))
+        best = [max(h, key=lambda x: x[0])[1] for h in done_hyps]
+        width = max(len(t) for t in best) + 1
+        out = np.full((batch_size, width), pad, np.int64)
+        for bi, t in enumerate(best):
+            out[bi, :len(t)] = t
+            out[bi, len(t)] = eos
+        return out
+
+
 def create_model(model_name: str, pretrained: Optional[str] = None, *,
                  precision: str = "float32",
                  force_image_size: Optional[int] = None,
@@ -241,9 +458,20 @@ def create_model(model_name: str, pretrained: Optional[str] = None, *,
 
     cfg = get_model_config(model_name)
     image_size = force_image_size or cfg["vision_cfg"]["image_size"]
-    tt_cfg = _to_two_towers_cfg(cfg, pos_embed=pos_embed)
     dtype = {"float32": None, "bf16": jnp.bfloat16,
              "bfloat16": jnp.bfloat16}[precision]
+    if "multimodal_cfg" in cfg:
+        from clipa_tpu.models import coca as coca_lib
+        model = coca_lib.Model(dtype=dtype, **_to_coca_cfg(cfg))
+        ctx = cfg["text_cfg"]["context_length"]
+        rng = jax.random.PRNGKey(seed)
+        params = jax.jit(lambda r: model.init(
+            {"params": r}, jnp.zeros((1, image_size, image_size, 3)),
+            jnp.zeros((1, ctx), jnp.int32))["params"])(rng)
+        if pretrained:
+            params = load_checkpoint_params(pretrained, params)
+        return CoCaModel(model, params, cfg, image_size, ctx)
+    tt_cfg = _to_two_towers_cfg(cfg, pos_embed=pos_embed)
     model = two_towers.Model(dtype=dtype, **tt_cfg)
 
     ctx = cfg["text_cfg"]["context_length"]
@@ -371,6 +599,10 @@ def convert_torch_variables(sd: dict[str, np.ndarray], *,
     # temperature
     put("t", np.asarray(sd["logit_scale"]).reshape(1))
 
+    # CoCa checkpoints carry a caption decoder; their visual ln_post/proj
+    # map to the coca-module pooling scope instead of the vit tower's.
+    is_coca = any(k.startswith("text_decoder.") for k in sd)
+
     # ---- image tower ----
     if "visual.attnpool.positional_embedding" in sd:
         _convert_resnet_visual(sd, put, stats)
@@ -379,14 +611,18 @@ def convert_torch_variables(sd: dict[str, np.ndarray], *,
         put("img/embedding/kernel", conv.transpose(2, 3, 1, 0))
         put("img/cls", sd["visual.class_embedding"].reshape(1, 1, -1))
         put("img/pos_embedding", sd["visual.positional_embedding"][None])
+        ln_post = "img_encoder_norm" if is_coca else "img/encoder_norm"
         if "visual.proj" in sd:
-            put("img/head/kernel", sd["visual.proj"])
+            put("img_head/kernel" if is_coca else "img/head/kernel",
+                sd["visual.proj"])
         if "visual.ln_pre.weight" in sd:
             put("img/ln_pre/scale", sd["visual.ln_pre.weight"])
             put("img/ln_pre/bias", sd["visual.ln_pre.bias"])
-        put("img/encoder_norm/scale", sd["visual.ln_post.weight"])
-        put("img/encoder_norm/bias", sd["visual.ln_post.bias"])
-        _convert_blocks(sd, "visual.transformer.resblocks", "img", put,
+        put(f"{ln_post}/scale", sd["visual.ln_post.weight"])
+        put(f"{ln_post}/bias", sd["visual.ln_post.bias"])
+        if "visual.attn_pool.query" in sd:
+            _convert_attn_pooler(sd, "visual.attn_pool", "img_pool", put)
+        _convert_blocks(sd, "visual.transformer.resblocks", "img/Transformer", put,
                         heads=(heads or {}).get("img"))
 
     # ---- text tower ----
@@ -395,8 +631,20 @@ def convert_torch_variables(sd: dict[str, np.ndarray], *,
     put("txt/head/kernel", sd[f"{tprefix}text_projection"])
     put("txt/encoder_norm/scale", sd[f"{tprefix}ln_final.weight"])
     put("txt/encoder_norm/bias", sd[f"{tprefix}ln_final.bias"])
-    _convert_blocks(sd, f"{tprefix}transformer.resblocks", "txt", put,
+    if f"{tprefix}cls_emb" in sd:
+        put("txt/cls_emb", sd[f"{tprefix}cls_emb"].reshape(1, 1, -1))
+    _convert_blocks(sd, f"{tprefix}transformer.resblocks", "txt/Transformer", put,
                     heads=(heads or {}).get("txt"))
+
+    # ---- caption decoder (CoCa, transformer.py:684-772) ----
+    if is_coca:
+        _convert_blocks(sd, "text_decoder.resblocks", "decoder", put,
+                        heads=(heads or {}).get("decoder"))
+        _convert_cross_blocks(sd, "text_decoder.cross_attn", "decoder", put,
+                              heads=(heads or {}).get("decoder"))
+        put("decoder/encoder_norm/scale", sd["text_decoder.ln_final.weight"])
+        put("decoder/encoder_norm/bias", sd["text_decoder.ln_final.bias"])
+        put("decoder/head/kernel", sd["text_decoder.text_projection"])
 
     leftover = [k for k in sd.unconsumed()
                 if not k.endswith(_IGNORABLE_TORCH_KEYS)]
@@ -411,6 +659,68 @@ def convert_torch_variables(sd: dict[str, np.ndarray], *,
         out["batch_stats"] = u.recover_tree(list(stats.keys()),
                                             list(stats.values()))
     return out
+
+
+def _convert_attn_pooler(sd, src, dst, put):
+    """CoCa AttentionalPooler (transformer.py:169-192): torch MHA with
+    kdim=context width -> our q/k/v/out Dense params."""
+    put(f"{dst}/query", sd[f"{src}.query"])
+    for ln, ours in (("ln_q", "ln_q"), ("ln_k", "ln_k")):
+        put(f"{dst}/{ours}/scale", sd[f"{src}.{ln}.weight"])
+        put(f"{dst}/{ours}/bias", sd[f"{src}.{ln}.bias"])
+    if f"{src}.attn.in_proj_weight" in sd:  # packed (kdim == embed_dim)
+        w = sd[f"{src}.attn.in_proj_weight"]
+        d = w.shape[0] // 3
+        wq, wk, wv = w[:d], w[d:2 * d], w[2 * d:]
+    else:
+        wq = sd[f"{src}.attn.q_proj_weight"]
+        wk = sd[f"{src}.attn.k_proj_weight"]
+        wv = sd[f"{src}.attn.v_proj_weight"]
+        d = wq.shape[0]
+    b = sd[f"{src}.attn.in_proj_bias"]
+    for name, w_, b_ in (("q_proj", wq, b[:d]), ("k_proj", wk, b[d:2 * d]),
+                         ("v_proj", wv, b[2 * d:])):
+        put(f"{dst}/{name}/kernel", w_.T)
+        put(f"{dst}/{name}/bias", b_)
+    put(f"{dst}/out_proj/kernel", sd[f"{src}.attn.out_proj.weight"].T)
+    put(f"{dst}/out_proj/bias", sd[f"{src}.attn.out_proj.bias"])
+
+
+def _convert_cross_blocks(sd, prefix, tower, put, heads=None):
+    """CoCa cross-attention blocks (ResidualAttentionBlock with
+    is_cross_attention=True, transformer.py:195-251) -> crossblock_i."""
+    depth = 1 + max(int(k.split(".")[len(prefix.split("."))])
+                    for k in sd if k.startswith(prefix))
+    width = sd[f"{prefix}.0.ln_1.weight"].shape[0]
+    if heads is None:
+        heads = width // {1280: 80, 1664: 104}.get(width, 64)
+    head_width = width // heads
+    for i in range(depth):
+        b = f"{prefix}.{i}"
+        o = f"{tower}/crossblock_{i}"
+        put(f"{o}/ln_kv/scale", sd[f"{b}.ln_1_kv.weight"])
+        put(f"{o}/ln_kv/bias", sd[f"{b}.ln_1_kv.bias"])
+        put(f"{o}/LayerNorm_0/scale", sd[f"{b}.ln_1.weight"])
+        put(f"{o}/LayerNorm_0/bias", sd[f"{b}.ln_1.bias"])
+        put(f"{o}/LayerNorm_1/scale", sd[f"{b}.ln_2.weight"])
+        put(f"{o}/LayerNorm_1/bias", sd[f"{b}.ln_2.bias"])
+        wqkv = sd[f"{b}.attn.in_proj_weight"]
+        bqkv = sd[f"{b}.attn.in_proj_bias"]
+        for j, name in enumerate(("query", "key", "value")):
+            w = wqkv[j * width:(j + 1) * width]
+            put(f"{o}/MultiHeadDotProductAttention_0/{name}/kernel",
+                w.T.reshape(width, heads, head_width))
+            put(f"{o}/MultiHeadDotProductAttention_0/{name}/bias",
+                bqkv[j * width:(j + 1) * width].reshape(heads, head_width))
+        put(f"{o}/MultiHeadDotProductAttention_0/out/kernel",
+            sd[f"{b}.attn.out_proj.weight"].T.reshape(heads, head_width,
+                                                      width))
+        put(f"{o}/MultiHeadDotProductAttention_0/out/bias",
+            sd[f"{b}.attn.out_proj.bias"])
+        put(f"{o}/MlpBlock_0/Dense_0/kernel", sd[f"{b}.mlp.c_fc.weight"].T)
+        put(f"{o}/MlpBlock_0/Dense_0/bias", sd[f"{b}.mlp.c_fc.bias"])
+        put(f"{o}/MlpBlock_0/Dense_1/kernel", sd[f"{b}.mlp.c_proj.weight"].T)
+        put(f"{o}/MlpBlock_0/Dense_1/bias", sd[f"{b}.mlp.c_proj.bias"])
 
 
 def _convert_resnet_visual(sd, put, stats: dict):
@@ -453,7 +763,9 @@ def _convert_resnet_visual(sd, put, stats: dict):
             sd[f"visual.attnpool.{p}_proj.bias"])
 
 
-def _convert_blocks(sd, prefix, tower, put, heads=None):
+def _convert_blocks(sd, prefix, dst, put, heads=None):
+    """dst is the destination scope holding encoderblock_i (e.g.
+    "img/Transformer", "txt/Transformer", "decoder")."""
     depth = 1 + max(int(k.split(".")[len(prefix.split("."))])
                     for k in sd if k.startswith(prefix))
     width = sd[f"{prefix}.0.ln_1.weight"].shape[0]
@@ -465,7 +777,7 @@ def _convert_blocks(sd, prefix, tower, put, heads=None):
     head_width = width // heads
     for i in range(depth):
         b = f"{prefix}.{i}"
-        o = f"{tower}/Transformer/encoderblock_{i}"
+        o = f"{dst}/encoderblock_{i}"
         put(f"{o}/LayerNorm_0/scale", sd[f"{b}.ln_1.weight"])
         put(f"{o}/LayerNorm_0/bias", sd[f"{b}.ln_1.bias"])
         put(f"{o}/LayerNorm_1/scale", sd[f"{b}.ln_2.weight"])
@@ -498,60 +810,125 @@ def export_torch_state_dict(params, batch_stats=None) -> dict:
     flat = dict(u.tree_flatten_with_names(params)[0])
     sd: dict[str, np.ndarray] = {}
     sd["logit_scale"] = np.asarray(flat["t"]).reshape(())
+    is_coca = any(k.startswith("decoder/") for k in flat)
     if "img/attnpool/pos_embedding" in flat:
         _export_resnet_visual(flat, batch_stats, sd)
     else:
-        _export_vit_visual(flat, sd)
-    sd["token_embedding.weight"] = np.asarray(flat["txt/Embed_0/embedding"])
-    sd["positional_embedding"] = np.asarray(flat["txt/pos_embedding"])[0]
-    sd["text_projection"] = np.asarray(flat["txt/head/kernel"])
-    sd["ln_final.weight"] = np.asarray(flat["txt/encoder_norm/scale"])
-    sd["ln_final.bias"] = np.asarray(flat["txt/encoder_norm/bias"])
+        _export_vit_visual(flat, sd, coca=is_coca)
+    _export_blocks(flat, sd, "img/Transformer", "visual.transformer.resblocks")
 
-    for tower, prefix in (("img", "visual.transformer.resblocks"),
-                          ("txt", "transformer.resblocks")):
-        i = 0
-        while f"{tower}/Transformer/encoderblock_{i}/LayerNorm_0/scale" in flat:
-            o = f"{tower}/Transformer/encoderblock_{i}"
-            b = f"{prefix}.{i}"
-            sd[f"{b}.ln_1.weight"] = np.asarray(flat[f"{o}/LayerNorm_0/scale"])
-            sd[f"{b}.ln_1.bias"] = np.asarray(flat[f"{o}/LayerNorm_0/bias"])
-            sd[f"{b}.ln_2.weight"] = np.asarray(flat[f"{o}/LayerNorm_1/scale"])
-            sd[f"{b}.ln_2.bias"] = np.asarray(flat[f"{o}/LayerNorm_1/bias"])
-            attn = f"{o}/MultiHeadDotProductAttention_0"
-            width = flat[f"{o}/LayerNorm_0/scale"].shape[0]
-            wq, wk, wv = (np.asarray(flat[f"{attn}/{n}/kernel"]).reshape(
-                width, width).T for n in ("query", "key", "value"))
-            sd[f"{b}.attn.in_proj_weight"] = np.concatenate([wq, wk, wv], 0)
-            sd[f"{b}.attn.in_proj_bias"] = np.concatenate(
-                [np.asarray(flat[f"{attn}/{n}/bias"]).reshape(-1)
-                 for n in ("query", "key", "value")], 0)
-            sd[f"{b}.attn.out_proj.weight"] = np.asarray(
-                flat[f"{attn}/out/kernel"]).reshape(width, width).T
-            sd[f"{b}.attn.out_proj.bias"] = np.asarray(flat[f"{attn}/out/bias"])
-            sd[f"{b}.mlp.c_fc.weight"] = np.asarray(
-                flat[f"{o}/MlpBlock_0/Dense_0/kernel"]).T
-            sd[f"{b}.mlp.c_fc.bias"] = np.asarray(
-                flat[f"{o}/MlpBlock_0/Dense_0/bias"])
-            sd[f"{b}.mlp.c_proj.weight"] = np.asarray(
-                flat[f"{o}/MlpBlock_0/Dense_1/kernel"]).T
-            sd[f"{b}.mlp.c_proj.bias"] = np.asarray(
-                flat[f"{o}/MlpBlock_0/Dense_1/bias"])
-            i += 1
+    # CoCa checkpoints use the CustomTextCLIP "text."-prefixed layout
+    # (coca_model.py builds self.text via _build_text_tower).
+    tp = "text." if is_coca else ""
+    sd[f"{tp}token_embedding.weight"] = np.asarray(
+        flat["txt/Embed_0/embedding"])
+    sd[f"{tp}positional_embedding"] = np.asarray(flat["txt/pos_embedding"])[0]
+    sd[f"{tp}text_projection"] = np.asarray(flat["txt/head/kernel"])
+    sd[f"{tp}ln_final.weight"] = np.asarray(flat["txt/encoder_norm/scale"])
+    sd[f"{tp}ln_final.bias"] = np.asarray(flat["txt/encoder_norm/bias"])
+    if "txt/cls_emb" in flat:
+        sd[f"{tp}cls_emb"] = np.asarray(flat["txt/cls_emb"]).reshape(-1)
+    _export_blocks(flat, sd, "txt/Transformer",
+                   f"{tp}transformer.resblocks")
+
+    if is_coca:
+        _export_blocks(flat, sd, "decoder", "text_decoder.resblocks")
+        _export_cross_blocks(flat, sd, "decoder", "text_decoder.cross_attn")
+        sd["text_decoder.ln_final.weight"] = np.asarray(
+            flat["decoder/encoder_norm/scale"])
+        sd["text_decoder.ln_final.bias"] = np.asarray(
+            flat["decoder/encoder_norm/bias"])
+        sd["text_decoder.text_projection"] = np.asarray(
+            flat["decoder/head/kernel"])
+        if "img_pool/query" in flat:
+            _export_attn_pooler(flat, sd, "img_pool", "visual.attn_pool")
     return sd
 
 
-def _export_vit_visual(flat, sd):
+def _export_blocks(flat, sd, tower, prefix):
+    i = 0
+    while f"{tower}/encoderblock_{i}/LayerNorm_0/scale" in flat:
+        o = f"{tower}/encoderblock_{i}"
+        b = f"{prefix}.{i}"
+        _export_one_block(flat, sd, o, b)
+        i += 1
+
+
+def _export_cross_blocks(flat, sd, tower, prefix):
+    i = 0
+    while f"{tower}/crossblock_{i}/LayerNorm_0/scale" in flat:
+        o = f"{tower}/crossblock_{i}"
+        b = f"{prefix}.{i}"
+        _export_one_block(flat, sd, o, b)
+        sd[f"{b}.ln_1_kv.weight"] = np.asarray(flat[f"{o}/ln_kv/scale"])
+        sd[f"{b}.ln_1_kv.bias"] = np.asarray(flat[f"{o}/ln_kv/bias"])
+        i += 1
+
+
+def _export_one_block(flat, sd, o, b):
+    sd[f"{b}.ln_1.weight"] = np.asarray(flat[f"{o}/LayerNorm_0/scale"])
+    sd[f"{b}.ln_1.bias"] = np.asarray(flat[f"{o}/LayerNorm_0/bias"])
+    sd[f"{b}.ln_2.weight"] = np.asarray(flat[f"{o}/LayerNorm_1/scale"])
+    sd[f"{b}.ln_2.bias"] = np.asarray(flat[f"{o}/LayerNorm_1/bias"])
+    attn = f"{o}/MultiHeadDotProductAttention_0"
+    width = flat[f"{o}/LayerNorm_0/scale"].shape[0]
+    wq, wk, wv = (np.asarray(flat[f"{attn}/{n}/kernel"]).reshape(
+        width, width).T for n in ("query", "key", "value"))
+    sd[f"{b}.attn.in_proj_weight"] = np.concatenate([wq, wk, wv], 0)
+    sd[f"{b}.attn.in_proj_bias"] = np.concatenate(
+        [np.asarray(flat[f"{attn}/{n}/bias"]).reshape(-1)
+         for n in ("query", "key", "value")], 0)
+    sd[f"{b}.attn.out_proj.weight"] = np.asarray(
+        flat[f"{attn}/out/kernel"]).reshape(width, width).T
+    sd[f"{b}.attn.out_proj.bias"] = np.asarray(flat[f"{attn}/out/bias"])
+    sd[f"{b}.mlp.c_fc.weight"] = np.asarray(
+        flat[f"{o}/MlpBlock_0/Dense_0/kernel"]).T
+    sd[f"{b}.mlp.c_fc.bias"] = np.asarray(
+        flat[f"{o}/MlpBlock_0/Dense_0/bias"])
+    sd[f"{b}.mlp.c_proj.weight"] = np.asarray(
+        flat[f"{o}/MlpBlock_0/Dense_1/kernel"]).T
+    sd[f"{b}.mlp.c_proj.bias"] = np.asarray(
+        flat[f"{o}/MlpBlock_0/Dense_1/bias"])
+
+
+def _export_attn_pooler(flat, sd, src, dst):
+    sd[f"{dst}.query"] = np.asarray(flat[f"{src}/query"])
+    for ours, ln in (("ln_q", "ln_q"), ("ln_k", "ln_k")):
+        sd[f"{dst}.{ln}.weight"] = np.asarray(flat[f"{src}/{ours}/scale"])
+        sd[f"{dst}.{ln}.bias"] = np.asarray(flat[f"{src}/{ours}/bias"])
+    d = np.asarray(flat[f"{src}/q_proj/kernel"]).shape[1]
+    kdim = np.asarray(flat[f"{src}/k_proj/kernel"]).shape[0]
+    wq = np.asarray(flat[f"{src}/q_proj/kernel"]).T
+    wk = np.asarray(flat[f"{src}/k_proj/kernel"]).T
+    wv = np.asarray(flat[f"{src}/v_proj/kernel"]).T
+    if kdim == d:  # torch packs same-dim projections
+        sd[f"{dst}.attn.in_proj_weight"] = np.concatenate([wq, wk, wv], 0)
+    else:
+        sd[f"{dst}.attn.q_proj_weight"] = wq
+        sd[f"{dst}.attn.k_proj_weight"] = wk
+        sd[f"{dst}.attn.v_proj_weight"] = wv
+    sd[f"{dst}.attn.in_proj_bias"] = np.concatenate(
+        [np.asarray(flat[f"{src}/{n}/bias"]).reshape(-1)
+         for n in ("q_proj", "k_proj", "v_proj")], 0)
+    sd[f"{dst}.attn.out_proj.weight"] = np.asarray(
+        flat[f"{src}/out_proj/kernel"]).T
+    sd[f"{dst}.attn.out_proj.bias"] = np.asarray(
+        flat[f"{src}/out_proj/bias"])
+
+
+def _export_vit_visual(flat, sd, coca: bool = False):
     sd["visual.conv1.weight"] = np.asarray(
         flat["img/embedding/kernel"]).transpose(3, 2, 0, 1)
     sd["visual.class_embedding"] = np.asarray(flat["img/cls"]).reshape(-1)
     if "img/pos_embedding" in flat:
         sd["visual.positional_embedding"] = np.asarray(
             flat["img/pos_embedding"])[0]
-    if "img/head/kernel" in flat:
-        sd["visual.proj"] = np.asarray(flat["img/head/kernel"])
-    sd["visual.ln_post.weight"] = np.asarray(flat["img/encoder_norm/scale"])
-    sd["visual.ln_post.bias"] = np.asarray(flat["img/encoder_norm/bias"])
+    ln_post = "img_encoder_norm" if coca else "img/encoder_norm"
+    proj = "img_head/kernel" if coca else "img/head/kernel"
+    if proj in flat:
+        sd["visual.proj"] = np.asarray(flat[proj])
+    sd["visual.ln_post.weight"] = np.asarray(flat[f"{ln_post}/scale"])
+    sd["visual.ln_post.bias"] = np.asarray(flat[f"{ln_post}/bias"])
     if "img/ln_pre/scale" in flat:
         sd["visual.ln_pre.weight"] = np.asarray(flat["img/ln_pre/scale"])
         sd["visual.ln_pre.bias"] = np.asarray(flat["img/ln_pre/bias"])
@@ -714,6 +1091,29 @@ def _syntax_bpe(bpe, ctx: int):
 
     tokenize.context_length = ctx
     return tokenize
+
+
+def create_loss(model_name_or_cfg, *, distill: bool = False,
+                coca_caption_loss_weight: float = 2.0,
+                coca_contrastive_loss_weight: float = 1.0,
+                pad_id: int = 0) -> Callable:
+    """Loss selector, mirroring the reference factory's create_loss
+    (clipa_torch/open_clip/factory.py): CoCa configs get CoCaLoss, distill
+    gets DistillClipLoss, everything else ClipLoss. Returns a callable
+    over our loss signatures (clipa_tpu.losses)."""
+    from clipa_tpu import losses as losses_lib
+
+    cfg = (get_model_config(model_name_or_cfg)
+           if isinstance(model_name_or_cfg, str) else model_name_or_cfg)
+    if distill:
+        return losses_lib.distill_contrastive_loss
+    if "multimodal_cfg" in cfg:
+        return functools.partial(
+            losses_lib.coca_loss,
+            clip_loss_weight=coca_contrastive_loss_weight,
+            caption_loss_weight=coca_caption_loss_weight, pad_id=pad_id)
+    return functools.partial(losses_lib.bidirectional_contrastive_loss,
+                             reduction=True)
 
 
 def create_model_and_transforms(model_name: str,

@@ -164,6 +164,29 @@ def sigmoid_contrastive_loss(zimg: Array, ztxt: Array, t: Array,
     return (jnp.mean(l) if reduction else l), {}
 
 
+def coca_loss(zimg: Array, ztxt: Array, t: Array, logits: Array,
+              labels: Array, *, clip_loss_weight: float = 1.0,
+              caption_loss_weight: float = 2.0, pad_id: int = 0):
+    """CoCa objective: weighted InfoNCE + next-token caption CE.
+
+    Reference CoCaLoss (clipa_torch/open_clip/loss.py:160-199):
+    clip_loss_weight * ClipLoss + caption_loss_weight *
+    CrossEntropyLoss(ignore_index=pad_id)(logits, labels) — the CE mean is
+    over non-pad positions only (torch ignore_index semantics). Default
+    weights are the reference trainer flags (--coca-caption-loss-weight 2,
+    --coca-contrastive-loss-weight 1).
+    """
+    clip_l, extras = bidirectional_contrastive_loss(zimg, ztxt, t,
+                                                    reduction=True)
+    log_p = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    nll = -jnp.take_along_axis(log_p, labels[..., None], axis=-1)[..., 0]
+    keep = (labels != pad_id).astype(jnp.float32)
+    caption_l = jnp.sum(nll * keep) / jnp.maximum(jnp.sum(keep), 1.0)
+    loss = clip_loss_weight * clip_l + caption_loss_weight * caption_l
+    return loss, {**extras, "contrastive_loss": clip_loss_weight * clip_l,
+                  "caption_loss": caption_loss_weight * caption_l}
+
+
 def sigmoid_xent(*, logits, labels, reduction: bool = True):
     """Stable elementwise sigmoid cross-entropy."""
     log_p = jax.nn.log_sigmoid(logits)

@@ -12,6 +12,8 @@ def get_model_module(name: str):
         "two_towers": "clipa_tpu.models.two_towers",
         "convnext": "clipa_tpu.models.convnext",
         "resnet": "clipa_tpu.models.resnet",
+        "coca": "clipa_tpu.models.coca",
+        "multimodal": "clipa_tpu.models.multimodal",
         "bert": "clipa_tpu.models.bert",
         "proj.flaxformer.bert": "clipa_tpu.models.bert",
     }

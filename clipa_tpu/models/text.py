@@ -63,6 +63,19 @@ class _Model(nn.Module):
     gelu_approx: Any = True  # True=tanh, False=erf, "quick"=QuickGELU
     # LayerNorm epsilon: flax/big_vision 1e-6, torch/open_clip 1e-5
     ln_eps: float = 1e-6
+    # CoCa text tower (open_clip TextTransformer embed_cls,
+    # transformer.py:560-660): a learnable cls embedding is APPENDED after
+    # the text tokens; the pooled output is ln_final(cls position), and the
+    # per-token outputs (out["tokens"], un-normed — the multimodal decoder
+    # applies its own ln_1_kv) feed the caption decoder. Forces causal
+    # attention with the reference's cls-row pad mask.
+    embed_cls: bool = False
+    pad_id: int = 0
+    # Fixed positional-embedding capacity (reference num_pos =
+    # context_length + 1 with cls_emb, transformer.py:559-578); the table is
+    # sliced to the input length so shorter generation prefixes reuse the
+    # same parameters. None (default) sizes the table to the input length.
+    context_length: Optional[int] = None
 
     @nn.compact
     def __call__(self, text: Array, *, train: bool = False, **unused_kw):
@@ -72,12 +85,25 @@ class _Model(nn.Module):
         x = nn.Embed(num_embeddings=self.vocab_size, features=self.width,
                      embedding_init=nn.initializers.normal(stddev=0.02),
                      param_dtype=jnp.float32, dtype=dtype)(text)
+        if self.embed_cls:
+            cls_emb = self.param("cls_emb",
+                                 nn.initializers.normal(stddev=0.01),
+                                 (1, 1, self.width), jnp.float32)
+            x = jnp.concatenate(
+                [x, jnp.tile(cls_emb.astype(dtype), [x.shape[0], 1, 1])],
+                axis=1)
         _, l, d = x.shape
 
+        num_pos = l
+        if self.context_length is not None:
+            num_pos = self.context_length + (1 if self.embed_cls else 0)
+            if l > num_pos:
+                raise ValueError(f"input length {l} exceeds "
+                                 f"positional capacity {num_pos}")
         if self.posemb == "learn":
             pe = self.param("pos_embedding",
                             nn.initializers.normal(stddev=0.01),
-                            (1, l, d), jnp.float32)
+                            (1, num_pos, d), jnp.float32)[:, :l]
         elif self.posemb == "sincos1d":
             pe = posemb_sincos_1d(l, d)
         else:
@@ -98,8 +124,18 @@ class _Model(nn.Module):
             mlp_proj_init=nn.initializers.normal(stddev=init_std["proj"]),
         )
         mask = None
-        if self.causal_mask:
+        if self.causal_mask or self.embed_cls:
             mask = jnp.tril(jnp.ones((l, l), bool))[None, None]
+        if self.embed_cls:
+            # The cls query row sees [1, text != pad] over keys — exactly the
+            # reference's build_cls_mask + causal sum, including its key-index
+            # shift (key j gates on text[j-1]; open_clip
+            # transformer.py:626-633). Other rows stay purely causal.
+            cls_row = jnp.concatenate(
+                [jnp.ones((text.shape[0], 1), bool), text != self.pad_id],
+                axis=1)  # (B, l)
+            mask = jnp.broadcast_to(mask, (text.shape[0], 1, l, l))
+            mask = mask.at[:, :, -1, :].set(cls_row[:, None, :])
 
         x = layers.Encoder(
             depth=self.depth, num_heads=self.num_heads, mlp_dim=self.mlp_dim,
@@ -109,6 +145,24 @@ class _Model(nn.Module):
             dtype=dtype, attn_impl=self.attn_impl, quant=self.quant,
             gelu_approx=self.gelu_approx, ln_eps=self.ln_eps,
             name="Transformer")(x, not train, mask)
+
+        if self.embed_cls:
+            # pooled = ln_final(cls position); tokens stay UN-normed (the
+            # caption decoder norms them itself; open_clip
+            # transformer.py:655-657 pools before ln'ing the tokens).
+            out["tokens"] = x[:, :-1].astype(jnp.float32)
+            x = nn.LayerNorm(epsilon=self.ln_eps, dtype=dtype,
+                             param_dtype=jnp.float32,
+                             name="encoder_norm")(x[:, -1])
+            out["head_input"] = x
+            if self.num_classes:
+                init = (nn.initializers.zeros if self.head_zeroinit
+                        else nn.initializers.normal(stddev=self.width ** -0.5))
+                x = nn.Dense(self.num_classes, use_bias=False,
+                             kernel_init=init, dtype=dtype,
+                             param_dtype=jnp.float32, name="head")(x)
+                out["logits"] = x
+            return x.astype(jnp.float32), out
 
         x = nn.LayerNorm(epsilon=self.ln_eps, dtype=dtype,
                          param_dtype=jnp.float32, name="encoder_norm")(x)

@@ -45,6 +45,14 @@ def _make_loss_dispatch(loss_kind: str, config, mesh) -> Callable:
         if teacher_out is not None:
             return losses_lib.distill_contrastive_loss(
                 zimg, ztxt, extras["t"], *teacher_out)
+        if loss_kind == "coca":
+            return losses_lib.coca_loss(
+                zimg, ztxt, extras["t"], extras["logits"], extras["labels"],
+                clip_loss_weight=float(
+                    config.get("coca_contrastive_loss_weight", 1.0)),
+                caption_loss_weight=float(
+                    config.get("coca_caption_loss_weight", 2.0)),
+                pad_id=int(config.get("pad_id", 0)))
         if loss_kind == "sigmoid":
             return losses_lib.sigmoid_contrastive_loss(
                 zimg, ztxt, extras["t"],
