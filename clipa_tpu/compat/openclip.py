@@ -112,10 +112,12 @@ def _to_two_towers_cfg(cfg: dict, *, image_size=None, pos_embed=None) -> dict:
     # quick_gelu=True through build_model_from_openai_state_dict)
     quick = bool(cfg.get("quick_gelu"))
     image_model = "vit"
+    text_model = "hf_text" if "hf_model_name" in t else "text_transformer"
     if "timm_model_name" in v:
         image_model, image = _timm_vision_cfg(v)
         text = _text_tower_cfg(t, quick)
         return dict(image=image, text=text, image_model=image_model,
+                    text_model=text_model,
                     out_dim=(cfg["embed_dim"], cfg["embed_dim"]),
                     temperature_init=1 / 0.07)
     if isinstance(v["layers"], (list, tuple)):
@@ -130,6 +132,7 @@ def _to_two_towers_cfg(cfg: dict, *, image_size=None, pos_embed=None) -> dict:
         )
         text = _text_tower_cfg(t, quick)
         return dict(image=image, text=text, image_model="resnet",
+                    text_model=text_model,
                     out_dim=(cfg["embed_dim"], cfg["embed_dim"]),
                     temperature_init=1 / 0.07)
     vision_pool_style = v.get("pool_style", "open_clip")
@@ -160,7 +163,7 @@ def _to_two_towers_cfg(cfg: dict, *, image_size=None, pos_embed=None) -> dict:
         ls_init=v.get("ls_init_value"),  # LayerScale (e.g. ViT-M-16-alt)
     )
     text = _text_tower_cfg(t, quick)
-    return dict(image=image, text=text,
+    return dict(image=image, text=text, text_model=text_model,
                 out_dim=(cfg["embed_dim"], cfg["embed_dim"]),
                 temperature_init=1 / 0.07)
 
@@ -212,6 +215,18 @@ def _to_coca_cfg(cfg: dict) -> dict:
 
 
 def _text_tower_cfg(t: dict, quick: bool) -> dict:
+    if "hf_model_name" in t:
+        # HF text trunk (clipa_torch/open_clip/hf_model.py): native
+        # roberta-family tower; mt5 trunks stay out (declared non-goal).
+        from clipa_tpu.models.hf_text import HF_ARCHS
+        name = t["hf_model_name"]
+        if name not in HF_ARCHS:
+            raise NotImplementedError(
+                f"hf text trunk {name!r} has no native tower (supported: "
+                f"{sorted(HF_ARCHS)}; mt5 is a declared non-goal).")
+        if t.get("pooler_type", "mean_pooler") != "mean_pooler":
+            raise NotImplementedError("only mean_pooler is implemented")
+        return dict(variant=name, proj=t.get("proj", "mlp"))
     text_pool = {"big_vision_last": "last", "big_vision_tok": "tok",
                  "open_clip": "eot"}[t.get("pool_style", "open_clip")]
     return dict(
@@ -474,7 +489,7 @@ def create_model(model_name: str, pretrained: Optional[str] = None, *,
     tt_cfg = _to_two_towers_cfg(cfg, pos_embed=pos_embed)
     model = two_towers.Model(dtype=dtype, **tt_cfg)
 
-    ctx = cfg["text_cfg"]["context_length"]
+    ctx = cfg["text_cfg"].get("context_length", 77)
     rng = jax.random.PRNGKey(seed)
     variables = jax.jit(lambda r: model.init(
         {"params": r}, jnp.zeros((1, image_size, image_size, 3)),
@@ -1030,8 +1045,25 @@ def get_tokenizer(model_name: str, *, vocab_path: Optional[str] = None,
     pass it via vocab_path.
     """
     cfg = get_model_config(model_name)["text_cfg"]
-    ctx = context_length or cfg["context_length"]
+    ctx = context_length or cfg.get("context_length", 77)
     vocab_path = vocab_path or os.environ.get("CLIPA_VOCAB_PATH")
+
+    if "hf_tokenizer_name" in cfg:
+        # HF tokenizer (reference factory.py get_tokenizer HF branch).
+        # transformers is a baked-in dependency; in offline environments
+        # point vocab_path (or HF_HOME cache) at a local tokenizer dir.
+        from transformers import AutoTokenizer
+        tok = AutoTokenizer.from_pretrained(
+            vocab_path or cfg["hf_tokenizer_name"])
+
+        def hf_tokenize(texts, rng=None):
+            if isinstance(texts, (str, bytes)):
+                texts = [texts]
+            enc = tok(list(texts), padding="max_length", truncation=True,
+                      max_length=ctx, return_tensors="np")
+            return enc["input_ids"].astype(np.int32)
+
+        return hf_tokenize
 
     if not cfg.get("bert_tokenizer") and cfg.get("vocab_size") == 49408:
         if not vocab_path:

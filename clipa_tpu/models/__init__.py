@@ -13,6 +13,7 @@ def get_model_module(name: str):
         "convnext": "clipa_tpu.models.convnext",
         "resnet": "clipa_tpu.models.resnet",
         "coca": "clipa_tpu.models.coca",
+        "hf_text": "clipa_tpu.models.hf_text",
         "multimodal": "clipa_tpu.models.multimodal",
         "bert": "clipa_tpu.models.bert",
         "proj.flaxformer.bert": "clipa_tpu.models.bert",

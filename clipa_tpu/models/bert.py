@@ -32,12 +32,13 @@ class BertBlock(nn.Module):
     gelu_approx: bool = False  # erf gelu: HF/`hidden_act="gelu"` semantics
 
     @nn.compact
-    def __call__(self, x: Array, deterministic: bool = True) -> Array:
+    def __call__(self, x: Array, deterministic: bool = True,
+                 mask: Optional[Array] = None) -> Array:
         y = layers.MultiHeadAttention(
             num_heads=self.num_heads, dtype=self.dtype,
             qkv_kernel_init=nn.initializers.normal(stddev=0.02),
             out_kernel_init=nn.initializers.normal(stddev=0.02),
-            name="MultiHeadDotProductAttention_0")(x, x)
+            name="MultiHeadDotProductAttention_0")(x, x, mask=mask)
         y = nn.Dropout(rate=self.dropout)(y, deterministic)
         x = nn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32,
                          name="LayerNorm_0")(x + y)

@@ -274,3 +274,81 @@ def test_bert_hf_converter_strict():
     sd["mystery.weight"] = np.zeros(3, np.float32)
     with pytest.raises(ValueError, match="Unconsumed"):
         bert.convert_hf_state_dict(sd, depth=1, num_heads=2)
+
+
+def test_hf_text_matches_roberta():
+    """RoBERTa-family tower parity: a HF RobertaModel's weights converted
+    into our hf_text tower produce the same hidden states and masked mean
+    pool (the reference's HFTextEncoder path,
+    clipa_torch/open_clip/hf_model.py:84-150)."""
+    torch = pytest.importorskip("torch")
+    trf = pytest.importorskip("transformers")
+    from clipa_tpu.models import hf_text
+
+    cfg = trf.RobertaConfig(
+        vocab_size=100, hidden_size=32, num_hidden_layers=2,
+        num_attention_heads=4, intermediate_size=64,
+        max_position_embeddings=18, hidden_act="gelu", pad_token_id=1,
+        hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0)
+    hf = trf.RobertaModel(cfg, add_pooling_layer=False).eval()
+
+    model = hf_text._Model(None, width=32, depth=2, mlp_dim=64, num_heads=4,
+                           vocab_size=100, max_len=18, pad_id=1)
+    rng = np.random.RandomState(0)
+    tokens_np = rng.randint(2, 100, (2, 10))
+    tokens_np[0, 6:] = 1  # pads: the attention mask + mean pool do work
+    tokens = jnp.asarray(tokens_np, jnp.int32)
+    params = model.init({"params": jax.random.PRNGKey(0)},
+                        tokens)["params"]
+    sd = {k: v.detach().numpy() for k, v in hf.state_dict().items()}
+    converted = hf_text.convert_hf_roberta(sd, depth=2, num_heads=4)
+    params = jax.tree.map(lambda old, new: np.asarray(new, old.dtype),
+                          params, converted)
+
+    pooled, out = model.apply({"params": params}, tokens)
+    with torch.no_grad():
+        mask_t = torch.tensor((tokens_np != 1).astype(np.int64))
+        ref = hf(torch.tensor(tokens_np), attention_mask=mask_t)
+        ref_h = ref.last_hidden_state
+        ref_pool = ((ref_h * mask_t[..., None]).sum(1)
+                    / mask_t.sum(-1, keepdim=True))
+    # pad-position hidden states differ (HF computes them unmasked; they
+    # are excluded from the pool), so compare non-pad positions only.
+    ours = np.asarray(out["encoded"])
+    theirs = ref_h.numpy()
+    keep = tokens_np != 1
+    np.testing.assert_allclose(ours[keep], theirs[keep],
+                               atol=1e-4, rtol=2e-3)
+    np.testing.assert_allclose(np.asarray(pooled), ref_pool.numpy(),
+                               atol=1e-4, rtol=2e-3)
+
+
+def test_hf_text_compat_configs():
+    """roberta/xlm-roberta zoo configs translate to the hf_text tower with
+    mean pooling + mlp proj; mt5 raises (declared non-goal)."""
+    from clipa_tpu.compat import openclip
+    tt = openclip._to_two_towers_cfg(
+        openclip.get_model_config("roberta-ViT-B-32"))
+    assert tt["text_model"] == "hf_text"
+    assert tt["text"]["variant"] == "roberta-base"
+    assert tt["text"]["proj"] == "mlp"
+    big = openclip._to_two_towers_cfg(
+        openclip.get_model_config("xlm-roberta-large-ViT-H-14"))
+    assert big["text"]["variant"] == "xlm-roberta-large"
+    with pytest.raises(NotImplementedError, match="mt5"):
+        openclip._text_tower_cfg({"hf_model_name": "mt5-base"}, False)
+
+    # tiny two-tower build through the registry end to end
+    from clipa_tpu.models import two_towers
+    model = two_towers.Model(
+        image={"variant": "Ti/16"}, text_model="hf_text",
+        text={"variant": None, "width": 32, "depth": 1, "num_heads": 2,
+              "mlp_dim": 64, "vocab_size": 64, "max_len": 16, "pad_id": 1},
+        out_dim=(16, 16))
+    txt = np.full((2, 8), 1, np.int32)
+    txt[:, :4] = 5
+    variables = model.init({"params": jax.random.PRNGKey(0)},
+                           jnp.zeros((1, 32, 32, 3)), jnp.asarray(txt))
+    zimg, ztxt, _ = model.apply(variables, jnp.ones((2, 32, 32, 3)),
+                                jnp.asarray(txt))
+    assert zimg.shape == (2, 16) and ztxt.shape == (2, 16)
