@@ -112,7 +112,10 @@ def _to_two_towers_cfg(cfg: dict, *, image_size=None, pos_embed=None) -> dict:
     # quick_gelu=True through build_model_from_openai_state_dict)
     quick = bool(cfg.get("quick_gelu"))
     image_model = "vit"
-    text_model = "hf_text" if "hf_model_name" in t else "text_transformer"
+    text_model = "text_transformer"
+    if "hf_model_name" in t:
+        hf_name = t["hf_model_name"].split("/")[-1]
+        text_model = "t5_text" if hf_name.startswith("mt5") else "hf_text"
     if "timm_model_name" in v:
         image_model, image = _timm_vision_cfg(v)
         text = _text_tower_cfg(t, quick)
@@ -217,13 +220,15 @@ def _to_coca_cfg(cfg: dict) -> dict:
 def _text_tower_cfg(t: dict, quick: bool) -> dict:
     if "hf_model_name" in t:
         # HF text trunk (clipa_torch/open_clip/hf_model.py): native
-        # roberta-family tower; mt5 trunks stay out (declared non-goal).
+        # roberta-family (models/hf_text.py) or mt5-encoder
+        # (models/t5_text.py) towers.
         from clipa_tpu.models.hf_text import HF_ARCHS
-        name = t["hf_model_name"]
-        if name not in HF_ARCHS:
+        from clipa_tpu.models.t5_text import T5_ARCHS
+        name = t["hf_model_name"].split("/")[-1]  # drop the HF org prefix
+        if name not in HF_ARCHS and name not in T5_ARCHS:
             raise NotImplementedError(
                 f"hf text trunk {name!r} has no native tower (supported: "
-                f"{sorted(HF_ARCHS)}; mt5 is a declared non-goal).")
+                f"{sorted(HF_ARCHS) + sorted(T5_ARCHS)}).")
         if t.get("pooler_type", "mean_pooler") != "mean_pooler":
             raise NotImplementedError("only mean_pooler is implemented")
         return dict(variant=name, proj=t.get("proj", "mlp"))

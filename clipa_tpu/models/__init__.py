@@ -14,6 +14,7 @@ def get_model_module(name: str):
         "resnet": "clipa_tpu.models.resnet",
         "coca": "clipa_tpu.models.coca",
         "hf_text": "clipa_tpu.models.hf_text",
+        "t5_text": "clipa_tpu.models.t5_text",
         "multimodal": "clipa_tpu.models.multimodal",
         "bert": "clipa_tpu.models.bert",
         "proj.flaxformer.bert": "clipa_tpu.models.bert",

@@ -20,10 +20,10 @@ def test_list_models():
 
 
 # Tower families the rebuild deliberately does not carry (SURVEY §7
-# non-goals): mt5 text trunks (encoder-decoder), the roberta CoCa combo,
-# swin/relpos timm-only vision backbones. The roberta/xlm-roberta TEXT
-# towers are native now (models/hf_text.py).
-_ZOO_NON_GOAL_PREFIXES = ("coca_roberta", "mt5-", "swin_", "vit_relpos_")
+# non-goals): the roberta CoCa combo and swin/relpos timm-only vision
+# backbones. roberta/xlm-roberta and mt5 TEXT towers are native now
+# (models/hf_text.py, models/t5_text.py).
+_ZOO_NON_GOAL_PREFIXES = ("coca_roberta", "swin_", "vit_relpos_")
 
 
 @pytest.mark.skipif(not os.path.isdir(

@@ -335,8 +335,11 @@ def test_hf_text_compat_configs():
     big = openclip._to_two_towers_cfg(
         openclip.get_model_config("xlm-roberta-large-ViT-H-14"))
     assert big["text"]["variant"] == "xlm-roberta-large"
-    with pytest.raises(NotImplementedError, match="mt5"):
-        openclip._text_tower_cfg({"hf_model_name": "mt5-base"}, False)
+    # mt5 is native now (models/t5_text.py); unknown trunks still raise
+    assert openclip._text_tower_cfg(
+        {"hf_model_name": "google/mt5-base"}, False)["variant"] == "mt5-base"
+    with pytest.raises(NotImplementedError, match="no native tower"):
+        openclip._text_tower_cfg({"hf_model_name": "gpt2"}, False)
 
     # tiny two-tower build through the registry end to end
     from clipa_tpu.models import two_towers
@@ -352,3 +355,69 @@ def test_hf_text_compat_configs():
     zimg, ztxt, _ = model.apply(variables, jnp.ones((2, 32, 32, 3)),
                                 jnp.asarray(txt))
     assert zimg.shape == (2, 16) and ztxt.shape == (2, 16)
+
+
+def test_t5_text_matches_mt5():
+    """mT5-encoder tower parity: a HF MT5EncoderModel's weights converted
+    into our t5_text tower produce the same hidden states and masked mean
+    pool (reference hf path: hf_model.py:108-112 takes model.encoder)."""
+    torch = pytest.importorskip("torch")
+    trf = pytest.importorskip("transformers")
+    from clipa_tpu.models import t5_text
+
+    cfg = trf.MT5Config(
+        vocab_size=100, d_model=32, d_kv=16, d_ff=64, num_layers=2,
+        num_heads=2, relative_attention_num_buckets=8,
+        relative_attention_max_distance=20, dropout_rate=0.0,
+        feed_forward_proj="gated-gelu", pad_token_id=0)
+    hf = trf.MT5EncoderModel(cfg).eval()
+
+    model = t5_text._Model(None, width=32, depth=2, num_heads=2,
+                           head_dim=16, mlp_dim=64, vocab_size=100,
+                           rel_buckets=8, rel_max_distance=20)
+    rng = np.random.RandomState(0)
+    tokens_np = rng.randint(2, 100, (2, 10))
+    tokens_np[0, 6:] = 0  # pads exercise the mask + mean pool
+    tokens = jnp.asarray(tokens_np, jnp.int32)
+    params = model.init({"params": jax.random.PRNGKey(0)}, tokens)["params"]
+    sd = {k: v.detach().numpy() for k, v in hf.state_dict().items()}
+    converted = t5_text.convert_hf_mt5(sd, depth=2)
+    params = jax.tree.map(lambda old, new: np.asarray(new, old.dtype),
+                          params, converted)
+
+    pooled, out = model.apply({"params": params}, tokens)
+    with torch.no_grad():
+        mask_t = torch.tensor((tokens_np != 0).astype(np.int64))
+        ref_h = hf(torch.tensor(tokens_np),
+                   attention_mask=mask_t).last_hidden_state
+        ref_pool = ((ref_h * mask_t[..., None]).sum(1)
+                    / mask_t.sum(-1, keepdim=True))
+    ours = np.asarray(out["encoded"])
+    keep = tokens_np != 0
+    np.testing.assert_allclose(ours[keep], ref_h.numpy()[keep],
+                               atol=1e-4, rtol=2e-3)
+    np.testing.assert_allclose(np.asarray(pooled), ref_pool.numpy(),
+                               atol=1e-4, rtol=2e-3)
+
+
+def test_t5_converter_strict_and_zoo():
+    trf = pytest.importorskip("transformers")
+    from clipa_tpu.compat import openclip
+    from clipa_tpu.models import t5_text
+    cfg = trf.MT5Config(vocab_size=50, d_model=16, d_kv=8, d_ff=32,
+                        num_layers=1, num_heads=2,
+                        relative_attention_num_buckets=8,
+                        feed_forward_proj="gated-gelu")
+    sd = {k: v.detach().numpy()
+          for k, v in trf.MT5EncoderModel(cfg).state_dict().items()}
+    sd["mystery.weight"] = np.zeros(3, np.float32)
+    with pytest.raises(ValueError, match="unconsumed"):
+        t5_text.convert_hf_mt5(sd, depth=1)
+
+    tt = openclip._to_two_towers_cfg(
+        openclip.get_model_config("mt5-base-ViT-B-32"))
+    assert tt["text_model"] == "t5_text"
+    assert tt["text"]["variant"] == "mt5-base"
+    xl = openclip._to_two_towers_cfg(
+        openclip.get_model_config("mt5-xl-ViT-H-14"))
+    assert xl["text"]["variant"] == "mt5-xl"
