@@ -194,13 +194,22 @@ def _to_coca_cfg(cfg: dict) -> dict:
         ln_eps=1e-5,
     )
     text = _text_tower_cfg(t, quick)
-    text["embed_cls"] = True
-    # fixed posemb capacity = context_length + 1 (reference num_pos,
-    # transformer.py:559-578; one row beyond the post-truncation length,
-    # matching the torch parameter shape for checkpoint parity).
-    text["context_length"] = t["context_length"]
+    text_model = "text_transformer"
+    if "hf_model_name" in t:
+        # coca_roberta-*.json: HF text trunk under the caption decoder
+        # (coca_model.py:95-100); truncation/labels stay at the CoCa level.
+        hf_name = t["hf_model_name"].split("/")[-1]
+        text_model = "t5_text" if hf_name.startswith("mt5") else "hf_text"
+    else:
+        text["embed_cls"] = True
+        # fixed posemb capacity = context_length + 1 (reference num_pos,
+        # transformer.py:559-578; one row beyond the post-truncation length,
+        # matching the torch parameter shape for checkpoint parity).
+        text["context_length"] = t["context_length"]
     mm = dict(
-        vocab_size=m["vocab_size"],
+        # decoder vocab = text_cfg.vocab_size, default 49408, for HF text
+        # towers too (coca_model.py:102-106 + CLIPTextCfg default).
+        vocab_size=m.get("vocab_size", t.get("vocab_size", 49408)),
         width=m["width"],
         depth=m["layers"],
         num_heads=m["heads"],
@@ -208,7 +217,7 @@ def _to_coca_cfg(cfg: dict) -> dict:
         gelu_approx="quick" if quick else False,
     )
     return dict(
-        image=image, text=text, multimodal_cfg=mm,
+        image=image, text=text, text_model=text_model, multimodal_cfg=mm,
         out_dim=cfg["embed_dim"],
         attentional_pool=bool(v.get("attentional_pool")),
         n_queries=int(v.get("n_queries", 256)),
@@ -483,7 +492,9 @@ def create_model(model_name: str, pretrained: Optional[str] = None, *,
     if "multimodal_cfg" in cfg:
         from clipa_tpu.models import coca as coca_lib
         model = coca_lib.Model(dtype=dtype, **_to_coca_cfg(cfg))
-        ctx = cfg["text_cfg"]["context_length"]
+        # HF-text coca configs carry no text context_length; the reference
+        # tokenizer default is 77 (tokenizer.py DEFAULT_CONTEXT_LENGTH).
+        ctx = cfg["text_cfg"].get("context_length", 77)
         rng = jax.random.PRNGKey(seed)
         params = jax.jit(lambda r: model.init(
             {"params": r}, jnp.zeros((1, image_size, image_size, 3)),

@@ -70,6 +70,11 @@ class Model(nn.Module):
     text: Optional[ConfigDict] = None
     multimodal_cfg: Optional[ConfigDict] = None
     image_model: str = "vit"
+    # "text_transformer" (CLIP tower + appended cls) or an HF-trunk tower
+    # ("hf_text"/"t5_text") — the reference's coca_roberta path
+    # (coca_model.py:95-100 builds self.text via _build_text_tower, which
+    # returns HFTextEncoder when text_cfg.hf_model_name is set).
+    text_model: str = "text_transformer"
     out_dim: Union[int, Tuple[int, int]] = 512
     temperature_init: float = 1 / 0.07
     # vision_cfg.attentional_pool (coca_ViT-B-32.json): pool the image
@@ -100,16 +105,31 @@ class Model(nn.Module):
         text_tokens = None
         if text is not None:
             full_text = text
+            # The cls-slot truncation happens at the CoCa level for EVERY
+            # tower type (coca_model.py:137 `text[:, :-1] if embed_cls`),
+            # including the HF trunks, which have no appended cls of their
+            # own — parity requires keeping it here, not inside the tower.
             if embed_cls:
                 text = text[:, :-1]
-            text_model = get_model_module("text_transformer").Model(
-                **{"num_classes": out_dims[1], "dtype": self.dtype,
-                   "embed_cls": True, "pad_id": self.pad_id,
-                   **(self.text or {})}, name="txt")
-            ztxt, out_txt = text_model(text, train=train)
+            if self.text_model == "text_transformer":
+                text_model = get_model_module("text_transformer").Model(
+                    **{"num_classes": out_dims[1], "dtype": self.dtype,
+                       "embed_cls": True, "pad_id": self.pad_id,
+                       **(self.text or {})}, name="txt")
+                ztxt, out_txt = text_model(text, train=train)
+                text_tokens = out_txt["tokens"]
+            else:
+                # HF trunk (hf_text/t5_text): pooled projection is the
+                # contrastive embedding; the decoder cross-reads the FULL
+                # hidden-state sequence (hf_model.py:144-151 — tokens are
+                # the unprojected last_hidden_state for a mean pooler).
+                text_model = get_model_module(self.text_model).Model(
+                    **{"num_classes": out_dims[1], "dtype": self.dtype,
+                       **(self.text or {})}, name="txt")
+                ztxt, out_txt = text_model(text, train=train)
+                text_tokens = out_txt["encoded"]
             out["txt/norm"] = jnp.linalg.norm(ztxt, axis=1, keepdims=True)
             out["txt/normalized"] = ztxt = ztxt / (out["txt/norm"] + 1e-8)
-            text_tokens = out_txt["tokens"]
             # next-token labels: the last len(tokens) ids of the ORIGINAL
             # text (coca_model.py:156) — with embed_cls, text[:, 1:].
             out["labels"] = full_text[:, -text_tokens.shape[1]:]

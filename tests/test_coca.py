@@ -351,3 +351,56 @@ def test_coca_configs_build():
                           jnp.int32))["params"],
             jax.random.PRNGKey(0))
         assert "decoder" in shapes and "img" in shapes and "txt" in shapes
+
+
+def test_coca_roberta_config_builds():
+    """coca_roberta-ViT-B-32: HF text trunk under the caption decoder
+    (reference coca_model.py:95-106 via hf_model.py)."""
+    cfg = openclip.get_model_config("coca_roberta-ViT-B-32")
+    kw = openclip._to_coca_cfg(cfg)
+    assert kw["text_model"] == "hf_text"
+    assert kw["text"] == {"variant": "roberta-base", "proj": "linear"}
+    # decoder vocab falls back to the CLIPTextCfg default, not roberta's
+    # 50265 (reference passes text_cfg.vocab_size = 49408 default).
+    assert kw["multimodal_cfg"]["vocab_size"] == 49408
+    model = coca_lib.Model(**kw)
+    shapes = jax.eval_shape(
+        lambda r: model.init(
+            {"params": r}, jnp.zeros((1, 224, 224, 3)),
+            jnp.zeros((1, 77), jnp.int32))["params"],
+        jax.random.PRNGKey(0))
+    assert "word_embeddings" in shapes["txt"]  # roberta trunk, not CLIP
+    assert shapes["decoder"]["head"]["kernel"].shape[-1] == 49408
+
+
+def test_coca_hf_text_forward_and_grads():
+    """A tiny hf_text-trunk CoCa: forward shapes, labels = text[:, 1:]
+    (tokens span the truncated sequence), and the caption loss
+    backpropagates into the roberta trunk."""
+    model = coca_lib.Model(
+        image=dict(variant=None, width=32, depth=2, num_heads=2, mlp_dim=64,
+                   patch_size=(16, 16), posemb="learn"),
+        text=dict(width=32, depth=2, num_heads=2, mlp_dim=64, vocab_size=96,
+                  max_len=40, pad_id=1, proj="linear"),
+        text_model="hf_text",
+        multimodal_cfg=dict(vocab_size=96, width=32, depth=2, num_heads=2,
+                            mlp_dim=64),
+        out_dim=32)
+    img, txt = _batch()
+    txt = txt % 96
+    params = model.init({"params": jax.random.PRNGKey(0)},
+                        jnp.zeros((1, 32, 32, 3)),
+                        jnp.zeros((1, 12), jnp.int32))["params"]
+    zimg, ztxt, out = model.apply({"params": params}, img, txt)
+    assert zimg.shape == (4, 32) and ztxt.shape == (4, 32)
+    assert out["logits"].shape == (4, 11, 96)  # ctx-1 positions
+    np.testing.assert_array_equal(np.asarray(out["labels"]), txt[:, 1:])
+
+    def loss_fn(p):
+        zi, zt, o = model.apply({"params": p}, img, txt)
+        l, _ = losses.coca_loss(zi, zt, o["t"], o["logits"], o["labels"],
+                                pad_id=1)
+        return l
+    g = jax.grad(loss_fn)(params)
+    trunk_g = g["txt"]["word_embeddings"]["embedding"]
+    assert float(jnp.sum(jnp.abs(trunk_g))) > 0.0
