@@ -1,0 +1,82 @@
+"""Ablate the 2D attention bwd kernel: time full vs no-softmax vs dots-only."""
+import time, functools
+import jax, jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+from clipa_tpu.ops import block_attention as ba
+
+B, L, D, H = 512, 50, 1024, 16
+G = 4
+key = jax.random.PRNGKey(0)
+kq, kk, kv, kd = jax.random.split(key, 4)
+q = jax.random.normal(kq, (B * L, D), jnp.bfloat16)
+k = jax.random.normal(kk, (B * L, D), jnp.bfloat16)
+v = jax.random.normal(kv, (B * L, D), jnp.bfloat16)
+do = jax.random.normal(kd, (B * L, D), jnp.bfloat16)
+
+def make_kernel(mode):
+    def kern(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref):
+        hd = D // H
+        f32 = jnp.float32
+        same = ba._block_diag_mask(G * L, L)
+        scale = hd ** -0.5
+        for h in range(H):
+            sl = slice(h * hd, (h + 1) * hd)
+            qh = q_ref[:, sl]; kh = k_ref[:, sl]
+            vh = v_ref[:, sl]; doh = do_ref[:, sl]
+            s = jax.lax.dot_general(qh, kh, (((1,), (1,)), ((), ())),
+                                    preferred_element_type=f32) * scale
+            if mode == "full":
+                p = ba._masked_softmax(s, same)
+            else:  # "nosoftmax": skip all VPU softmax work
+                p = s
+            dp = jax.lax.dot_general(doh, vh, (((1,), (1,)), ((), ())),
+                                     preferred_element_type=f32)
+            if mode == "full":
+                ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+                dsb = (ds * scale).astype(qh.dtype)
+                pb = p.astype(qh.dtype)
+            else:
+                dsb = dp.astype(qh.dtype)
+                pb = s.astype(qh.dtype)
+            dq = jax.lax.dot_general(dsb, kh, (((1,), (0,)), ((), ())),
+                                     preferred_element_type=f32)
+            dk = jax.lax.dot_general(dsb, qh, (((0,), (0,)), ((), ())),
+                                     preferred_element_type=f32)
+            dv = jax.lax.dot_general(pb, doh, (((0,), (0,)), ((), ())),
+                                     preferred_element_type=f32)
+            dq_ref[:, sl] = dq.astype(dq_ref.dtype)
+            dk_ref[:, sl] = dk.astype(dk_ref.dtype)
+            dv_ref[:, sl] = dv.astype(dv_ref.dtype)
+    return kern
+
+def call(mode):
+    spec = pl.BlockSpec((G * L, D), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    f = pl.pallas_call(
+        make_kernel(mode), grid=(B // G,),
+        in_specs=[spec] * 4, out_specs=(spec, spec, spec),
+        out_shape=tuple(jax.ShapeDtypeStruct((B * L, D), jnp.bfloat16)
+                        for _ in range(3)))
+    return f
+
+def timeit(f, iters=40):
+    @jax.jit
+    def chain(q, k, v, do, n):
+        def body(_, c):
+            dq, dk, dv = f(c, k, v, do)
+            return (c + dq * 1e-6).astype(c.dtype)
+        return jax.lax.fori_loop(0, n, body, q, unroll=False)
+    float(jnp.sum(chain(q, k, v, do, 2).astype(jnp.float32)))
+    best = 1e9
+    for _ in range(3):
+        t0 = time.perf_counter()
+        float(jnp.sum(chain(q, k, v, do, iters).astype(jnp.float32)))
+        t1 = time.perf_counter()
+        t2 = time.perf_counter()
+        float(jnp.sum(chain(q, k, v, do, 2).astype(jnp.float32)))
+        t3 = time.perf_counter()
+        best = min(best, ((t1 - t0) - (t3 - t2)) / (iters - 2))
+    return best * 1e3
+
+for mode in ("full", "nosoftmax"):
+    print(f"bwd[{mode}]: {timeit(call(mode)):.3f} ms")
