@@ -69,8 +69,9 @@ def _timm_vision_cfg(v: dict) -> Tuple[str, dict]:
     convnext_* (clipa_torch/open_clip/timm_model.py adapter: trunk + GAP +
     linear/mlp proj — our convnext tower IS trunk+GAP+head) and
     vit_medium_patch16_gap_256 (ViT-M/16, gap pool, no class token ->
-    closest native equivalent is our gap-pooled ViT). Swin/relpos trunks
-    would need new towers and raise.
+    closest native equivalent is our gap-pooled ViT), plus native towers
+    for the swin (models/swin.py) and relpos-ViT (models/vit_relpos.py)
+    trunks.
     """
     name = v["timm_model_name"]
     if name in _TIMM_CONVNEXT:
@@ -92,11 +93,27 @@ def _timm_vision_cfg(v: dict) -> Tuple[str, dict]:
             drop_path=float(v.get("timm_drop_path") or 0.0),
         )
         return "vit", image
+    if name == "swin_base_patch4_window7_224":
+        image = dict(
+            variant=None, embed_dim=128, depths=(2, 2, 18, 2),
+            num_heads=(4, 8, 16, 32), window=7, patch_size=4,
+            drop_path=float(v.get("timm_drop_path") or 0.0),
+            head_bias=bool(v.get("timm_proj_bias", False)),
+        )
+        return "swin", image
+    if name == "vit_relpos_medium_patch16_cls_224":
+        image = dict(
+            variant=None, width=512, depth=12, num_heads=8, patch_size=16,
+            drop_path=float(v.get("timm_drop_path") or 0.0),
+            head_bias=bool(v.get("timm_proj_bias", False)),
+        )
+        return "vit_relpos", image
     raise NotImplementedError(
         f"timm vision trunk {name!r} has no native tower here (supported: "
-        f"{sorted(_TIMM_CONVNEXT)} + ['vit_medium_patch16_gap_256']; "
-        "ModifiedResNet has its own non-timm tower, models/resnet.py); "
-        "swin/relpos trunks are declared non-goals (SURVEY.md §7).")
+        f"{sorted(_TIMM_CONVNEXT)} + ['vit_medium_patch16_gap_256', "
+        "'swin_base_patch4_window7_224', "
+        "'vit_relpos_medium_patch16_cls_224']; "
+        "ModifiedResNet has its own non-timm tower, models/resnet.py).")
 
 
 def _to_two_towers_cfg(cfg: dict, *, image_size=None, pos_embed=None) -> dict:

@@ -11,6 +11,8 @@ def get_model_module(name: str):
         "proj.image_text.text_transformer": "clipa_tpu.models.text",
         "two_towers": "clipa_tpu.models.two_towers",
         "convnext": "clipa_tpu.models.convnext",
+        "swin": "clipa_tpu.models.swin",
+        "vit_relpos": "clipa_tpu.models.vit_relpos",
         "resnet": "clipa_tpu.models.resnet",
         "coca": "clipa_tpu.models.coca",
         "hf_text": "clipa_tpu.models.hf_text",

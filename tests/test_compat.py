@@ -19,11 +19,9 @@ def test_list_models():
     assert len(models) >= 10
 
 
-# Tower families the rebuild deliberately does not carry (SURVEY §7
-# non-goals): the roberta CoCa combo and swin/relpos timm-only vision
-# backbones. roberta/xlm-roberta and mt5 TEXT towers are native now
-# (models/hf_text.py, models/t5_text.py).
-_ZOO_NON_GOAL_PREFIXES = ("coca_roberta", "swin_", "vit_relpos_")
+# Every reference model-config name now has a native tower here
+# (swin/relpos-ViT landed in models/swin.py, models/vit_relpos.py).
+_ZOO_NON_GOAL_PREFIXES = ()
 
 
 @pytest.mark.skipif(not os.path.isdir(
@@ -706,6 +704,6 @@ def test_convnext_configs_build_and_encode():
 
 
 def test_unsupported_timm_trunk_raises():
-    with pytest.raises(NotImplementedError, match="swin"):
+    with pytest.raises(NotImplementedError, match="efficientnet"):
         openclip._timm_vision_cfg({"timm_model_name":
-                                   "swin_base_patch4_window7_224"})
+                                   "efficientnet_b0"})
