@@ -652,6 +652,15 @@ def convert_torch_variables(sd: dict[str, np.ndarray], *,
     is_coca = any(k.startswith("text_decoder.") for k in sd)
 
     # ---- image tower ----
+    if any(k.startswith("visual.trunk.") for k in sd):
+        # timm-trunk checkpoints (convnext/swin/relpos configs): the
+        # native towers exist for from-scratch training, but no weight
+        # converter is implemented for the timm parameter layout.
+        raise NotImplementedError(
+            "state_dict has a timm vision trunk (visual.trunk.*); the "
+            "torch converter covers CLIP ViT / ModifiedResNet / CoCa "
+            "layouts only — convnext/swin/relpos checkpoints cannot be "
+            "loaded (train those towers from scratch instead)")
     if "visual.attnpool.positional_embedding" in sd:
         _convert_resnet_visual(sd, put, stats)
     else:

@@ -169,6 +169,10 @@ class PatchMerging(nn.Module):
         b, h, w, c = x.shape
         dtype = self.dtype or x.dtype
         x = x.reshape(b, h // 2, 2, w // 2, 2, c)
+        # NOTE: this concatenates the 2x2 neighbors in (0,0),(0,1),(1,0),
+        # (1,1) order; canonical timm uses (0,0),(1,0),(0,1),(1,1). Fine
+        # for from-scratch training; a timm weight converter must permute
+        # the `reduction` kernel's input rows (swap blocks 1 and 2 of 4).
         x = x.transpose(0, 1, 3, 2, 4, 5).reshape(b, h // 2, w // 2, 4 * c)
         x = nn.LayerNorm(dtype=dtype, param_dtype=jnp.float32,
                          name="norm")(x)
@@ -210,11 +214,18 @@ class _Model(nn.Module):
         dim = self.embed_dim
         for i, (depth, heads) in enumerate(zip(self.depths,
                                                self.num_heads)):
+            if x.shape[1] % self.window or x.shape[2] % self.window:
+                raise ValueError(
+                    f"swin stage {i}: token grid {x.shape[1]}x{x.shape[2]} "
+                    f"is not divisible by window {self.window}; image_size "
+                    f"must satisfy size/{self.patch_size}/2^stage % "
+                    f"{self.window} == 0 at every stage (224 works for "
+                    f"window 7; 256 does not)")
             for j in range(depth):
                 shift = 0 if j % 2 == 0 else self.window // 2
                 # A window covering the whole grid never needs shifting
                 # (the stage-4 7x7 grid in the 224px config).
-                if x.shape[1] <= self.window:
+                if min(x.shape[1], x.shape[2]) <= self.window:
                     shift = 0
                 x = SwinBlock(dim, heads, self.window, shift,
                               self.mlp_ratio, float(dp[cur + j]),

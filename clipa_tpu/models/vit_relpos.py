@@ -15,7 +15,13 @@ variants set qkv_bias=False).
 
 Exact timm-numeric parity is untestable here (timm is not installed and
 the environment has no egress); the architecture is structurally
-faithful and the parameter layout is our own.
+faithful and the parameter layout is our own. Specifically, the coords
+below use swin-v2-style log-CPB (8/(win-1) pre-scale, log2, no sigmoid
+gain) whereas timm RelPosMlp 'cpb' mode uses natural-log coords with no
+pre-scale and 'swin' mode adds a sigmoid gain of 16 — so porting timm/
+open_clip relpos checkpoints onto this tower would require mirroring
+timm's gen_relative_log_coords for the matching mode first. This tower
+is for from-scratch training.
 
 TPU notes: the bias MLP runs over a (2H-1)*(2W-1) coordinate table (729
 rows at 224px) once per block — negligible next to the token GEMMs —
