@@ -12,5 +12,12 @@ from clipa_tpu.compat.openclip import (  # noqa: F401
 from clipa_tpu.compat.pretrained import (  # noqa: F401
     download_pretrained,
     get_pretrained_cfg,
+    is_pretrained_cfg,
     list_pretrained,
+    list_pretrained_models_by_tag,
+    list_pretrained_tags_by_model,
+)
+from clipa_tpu.compat.export import (  # noqa: F401
+    push_to_hf_hub,
+    save_open_clip,
 )

@@ -502,6 +502,12 @@ def create_model(model_name: str, pretrained: Optional[str] = None, *,
     """Builds (and optionally loads) a CLIPA model by open_clip name."""
     from clipa_tpu.models import two_towers
 
+    if pretrained and not os.path.exists(pretrained):
+        # registry tag ("openai", "laion2b_s34b_b79k", ...) -> local file
+        from clipa_tpu.compat import pretrained as registry
+        if registry.is_pretrained_cfg(model_name, pretrained):
+            pretrained = registry.download_pretrained(model_name, pretrained)
+
     cfg = get_model_config(model_name)
     image_size = force_image_size or cfg["vision_cfg"]["image_size"]
     dtype = {"float32": None, "bf16": jnp.bfloat16,
