@@ -121,9 +121,21 @@ def _bdot(a, b, contract, batch=((0,), (0,))):
                                preferred_element_type=jnp.float32)
 
 
+# fp32 exp is finite and exact for |s| <= 80 (overflow at 88.7, underflow
+# to subnormals at -87.3); softmax rows clipped at +-80 deviate from the
+# exact result only when a row's true max exceeds 80 — a regime where the
+# softmax is already saturated one-hot and training long dead. With the
+# clip, denominators live in [e^-80, n*e^80]: never 0, never inf, no NaNs.
+_EXP_CLIP = 80.0
+
+
 def _softmax(s):
-    s = s - jnp.max(s, axis=-1, keepdims=True)
-    e = jnp.exp(s)
+    # No rowmax subtraction: the lane-axis max reduce is the single most
+    # expensive VPU op in these kernels (measured ~35-45% of fwd kernel
+    # time at the flagship shape — tools/scratch_attn_sweep.py; lane
+    # reductions can't ride the MXU the way sum reductions do). The clip
+    # above replaces it for numeric safety.
+    e = jnp.exp(jnp.clip(s, -_EXP_CLIP, _EXP_CLIP))
     return e / jnp.sum(e, axis=-1, keepdims=True)
 
 
@@ -386,17 +398,25 @@ def _block_diag_mask(n: int, seq: int):
     return (row // seq) == (col // seq)
 
 
-def _masked_softmax(s, same):
-    s = jnp.where(same, s, -jnp.inf)
-    s = s - jnp.max(s, axis=-1, keepdims=True)
-    e = jnp.exp(s)
+def _mask_bias(same):
+    """Additive mask: 0 on same-sample entries, -1e30 across samples (so
+    exp underflows to exactly 0). One select per program instead of a
+    where() per head."""
+    return jnp.where(same, 0.0, -1e30)
+
+
+def _masked_softmax(s, bias):
+    # clip-then-bias: masked entries land at -1e30 -> exp == 0 exactly;
+    # unmasked rows keep >= seq entries in [e^-80, e^80], so denominators
+    # are never 0. No rowmax reduce — see _softmax for the rationale.
+    e = jnp.exp(jnp.clip(s, -_EXP_CLIP, _EXP_CLIP) + bias)
     return e / jnp.sum(e, axis=-1, keepdims=True)
 
 
 def _fwd2d_kernel(q_ref, k_ref, v_ref, o_ref, *, num_heads: int, seq: int,
                   group: int, scale: float):
     hd = q_ref.shape[-1] // num_heads
-    same = _block_diag_mask(group * seq, seq)
+    bias = _mask_bias(_block_diag_mask(group * seq, seq))
     for h in range(num_heads):
         sl = slice(h * hd, (h + 1) * hd)
         # Input-dtype MXU operands, scale on the fp32 scores (see
@@ -405,7 +425,7 @@ def _fwd2d_kernel(q_ref, k_ref, v_ref, o_ref, *, num_heads: int, seq: int,
         kh = k_ref[:, sl]
         s = jax.lax.dot_general(qh, kh, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32) * scale
-        p = _masked_softmax(s, same)                         # (G*L, G*L)
+        p = _masked_softmax(s, bias)                         # (G*L, G*L)
         vh = v_ref[:, sl]
         o = jax.lax.dot_general(p.astype(vh.dtype), vh,
                                 (((1,), (0,)), ((), ())),
@@ -417,7 +437,7 @@ def _bwd2d_kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref, *,
                   num_heads: int, seq: int, group: int, scale: float):
     hd = q_ref.shape[-1] // num_heads
     f32 = jnp.float32
-    same = _block_diag_mask(group * seq, seq)
+    bias = _mask_bias(_block_diag_mask(group * seq, seq))
     for h in range(num_heads):
         sl = slice(h * hd, (h + 1) * hd)
         # Input-dtype MXU operands for all five dots (see _bwd_kernel);
@@ -429,7 +449,7 @@ def _bwd2d_kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref, *,
 
         s = jax.lax.dot_general(qh, kh, (((1,), (1,)), ((), ())),
                                 preferred_element_type=f32) * scale
-        p = _masked_softmax(s, same)                          # (G*L, G*L)
+        p = _masked_softmax(s, bias)                          # (G*L, G*L)
         dp = jax.lax.dot_general(doh, vh, (((1,), (1,)), ((), ())),
                                  preferred_element_type=f32)
         # masked entries have p == 0, so ds == 0 there: the cross-sample

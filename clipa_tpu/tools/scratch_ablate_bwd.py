@@ -27,7 +27,7 @@ def make_kernel(mode):
             s = jax.lax.dot_general(qh, kh, (((1,), (1,)), ((), ())),
                                     preferred_element_type=f32) * scale
             if mode == "full":
-                p = ba._masked_softmax(s, same)
+                p = ba._masked_softmax(s, ba._mask_bias(same))
             else:  # "nosoftmax": skip all VPU softmax work
                 p = s
             dp = jax.lax.dot_general(doh, vh, (((1,), (1,)), ((), ())),
