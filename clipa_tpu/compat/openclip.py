@@ -41,6 +41,11 @@ def list_models() -> list[str]:
 
 @functools.lru_cache(maxsize=None)
 def get_model_config(name: str) -> dict:
+    if name.endswith(".json") and os.path.exists(name):
+        # a user-local config file, addressed by path (lets downstream code
+        # and tests use configs outside the shipped zoo)
+        with open(name) as f:
+            return json.load(f)
     path = os.path.join(_CONFIG_DIR, name + ".json")
     if not os.path.exists(path):
         raise KeyError(f"Unknown model {name!r}; known: {list_models()}")
