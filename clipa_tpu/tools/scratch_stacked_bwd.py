@@ -87,8 +87,7 @@ def timeit(f, iters=40):
     return best * 1e3
 
 # correctness vs current kernel
-_o, _r = ba._call_fwd_2d(q, k, v, H, L)
-ref = ba._call_bwd_2d(q, k, v, _o, _r, do, H, L)
+ref = ba._call_bwd_2d(q, k, v, do, H, L)
 got = stacked(q, k, v, do)
 for a, b, name in zip(got, ref, ("dq", "dk", "dv")):
     err = float(jnp.max(jnp.abs(a.astype(jnp.float32) - b.astype(jnp.float32))))
