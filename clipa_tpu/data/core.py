@@ -14,7 +14,10 @@ from __future__ import annotations
 import csv
 import glob
 import json
+import logging
 import os
+import re
+import tarfile
 from typing import Iterator, Optional, Sequence
 
 import jax
@@ -252,6 +255,186 @@ class ImageFolderSource(DataSource):
                 return
 
 
+def expand_urls(urls: str) -> list[str]:
+    """`{00000..00099}` brace-range expansion + `::` pattern joining.
+
+    The reference accepts webdataset shard specs like
+    `laion/{00000..01023}.tar::extra/{000..015}.tar`
+    (clipa_torch/training/data.py:80-86 via wds.shardlists.expand_urls /
+    braceexpand). Only the numeric-range form is supported — the form every
+    published LAION/DataComp recipe uses.
+    """
+    out = []
+    for part in urls.split("::"):
+        m = re.search(r"\{(\d+)\.\.(\d+)\}", part)
+        if not m:
+            out.append(part)
+            continue
+        lo, hi = m.group(1), m.group(2)
+        width = len(lo)
+        for i in range(int(lo), int(hi) + 1):
+            out.extend(expand_urls(part[:m.start()] + str(i).zfill(width)
+                                   + part[m.end():]))
+    return out
+
+
+# webdataset's base_plus_ext (wds.tariterators): split a member path into
+# (prefix up to the FIRST dot of the basename, everything after it). The
+# multi-dot suffix is what groups `xxx.seg.jpg` with `xxx.txt`.
+_BASE_PLUS_EXT = re.compile(r"^((?:.*/|)[^.]+)[.]([^/]*)$")
+
+_WDS_IMAGE_KEYS = ("jpg", "png", "jpeg", "webp")
+
+
+class WebDatasetSource(DataSource):
+    """POSIX-tar shards of keyed files — the reference torch trainer's
+    `--dataset-type webdataset` LAION/DataComp format.
+
+    Re-implements the semantics of the reference's webdataset pipeline
+    (clipa_torch/training/data.py:191-232 group_by_keys_nothrow +
+    :340-392 pipeline assembly) without the webdataset dependency:
+
+    * shard spec: brace ranges + `::` joining (`expand_urls`), or an
+      explicit list of tar paths, or a glob.
+    * tar members are streamed sequentially (tarfile stream mode — object
+      stores and page caches want sequential reads) and grouped into
+      samples by basename-before-first-dot; a repeated suffix or a new
+      prefix closes the sample (the reference's nothrow variant: LAION tars
+      may repeat a prefix across shard boundaries).
+    * samples missing a caption or an image are dropped
+      (filter_no_caption_or_no_image, data.py:178-182); broken tar members
+      log-and-continue (data.py:185-189).
+    * output: `image` = raw encoded bytes (the pp `decode` op owns
+      decoding, same contract as TFRecordSource), `texts` = utf-8 caption.
+      Extra suffixes ride along verbatim (bytes), `json` parsed.
+    * multi-host: even shard-file split per process (split_by_node);
+      `resampled=True` instead draws shards with replacement per epoch
+      (wds.ResampledShards, for unbalanced shard counts vs workers).
+    * `n_examples`: like the reference's required `--train-num-samples`
+      (data.py:336-346 — tar shards carry no index); if omitted, falls
+      back to a `sizes.json`/`__len__` style count file next to the shards
+      or counts on first use (slow; cached).
+    """
+
+    def __init__(self, pattern, n_examples: Optional[int] = None,
+                 resampled: bool = False):
+        if isinstance(pattern, str):
+            if re.search(r"\{\d+\.\.\d+\}", pattern) or "::" in pattern:
+                self.files = expand_urls(pattern)
+            else:
+                self.files = sorted(glob.glob(pattern)) or [pattern]
+            missing = [f for f in self.files if not os.path.exists(f)]
+            if missing:
+                raise FileNotFoundError(
+                    f"{len(missing)} webdataset shard(s) missing, e.g. "
+                    f"{missing[0]!r}")
+        else:
+            self.files = sorted(pattern)
+        if not self.files:
+            raise FileNotFoundError(f"No webdataset shards match {pattern}")
+        self.resampled = resampled
+        self._n = n_examples if n_examples is not None \
+            else self._metadata_count()
+
+    def _metadata_count(self) -> Optional[int]:
+        # img2dataset writes per-shard .._stats.json / a sizes.json map
+        sizes = os.path.join(os.path.dirname(self.files[0]), "sizes.json")
+        if os.path.exists(sizes):
+            with open(sizes) as f:
+                table = json.load(f)
+            vals = [table.get(os.path.basename(f)) for f in self.files]
+            if all(v is not None for v in vals):
+                return int(sum(vals))
+        return None
+
+    def total_examples(self) -> int:
+        if self._n is None:
+            self._n = sum(1 for f in self.files for _ in self._iter_tar(f))
+        return self._n
+
+    def process_files(self) -> list[str]:
+        return even_file_splits(self.files, jax.process_index(),
+                                jax.process_count())
+
+    @staticmethod
+    def _iter_tar(path: str) -> Iterator[dict]:
+        """Stream one shard -> grouped, filtered sample dicts."""
+        current = None
+
+        def finish(sample):
+            # valid_sample + caption/image filter, reference data.py:178-182
+            if sample and "txt" in sample and \
+                    any(k in sample for k in _WDS_IMAGE_KEYS):
+                return sample
+            return None
+
+        try:
+            with tarfile.open(path, mode="r|*") as tf:
+                for member in tf:
+                    if not member.isfile():
+                        continue
+                    m = _BASE_PLUS_EXT.match(member.name)
+                    if not m or m.group(1).startswith("."):
+                        continue
+                    prefix, suffix = m.group(1), m.group(2).lower()
+                    try:
+                        value = tf.extractfile(member).read()
+                    except Exception as e:  # log-and-continue
+                        logging.warning(
+                            "webdataset: skipping member %r in %r (%r)",
+                            member.name, path, e)
+                        continue
+                    if current is None or prefix != current["__key__"] \
+                            or suffix in current:
+                        done = finish(current)
+                        if done:
+                            yield done
+                        current = {"__key__": prefix}
+                    current[suffix] = value
+        except Exception as e:  # truncated/corrupt shard: keep going
+            logging.warning("webdataset: error reading %r (%r)", path, e)
+        done = finish(current)
+        if done:
+            yield done
+
+    @staticmethod
+    def _to_sample(raw: dict) -> dict:
+        # rename(image="jpg;png;jpeg;webp", text="txt") — data.py:386
+        sample = {}
+        for k in _WDS_IMAGE_KEYS:
+            if k in raw:
+                sample["image"] = raw[k]
+                break
+        sample["texts"] = raw["txt"].decode("utf-8", errors="replace")
+        for k, v in raw.items():
+            if k in _WDS_IMAGE_KEYS or k in ("txt", "__key__"):
+                continue
+            if k == "json":
+                try:
+                    v = json.loads(v)
+                except ValueError:
+                    pass
+            sample[k] = v
+        return sample
+
+    def iter_process_shard(self, *, repeat: bool = False,
+                           seed: Optional[int] = None) -> Iterator[dict]:
+        files = self.process_files()
+        rng = np.random.default_rng(seed if seed is not None else 0)
+        while True:
+            if self.resampled:
+                order = rng.integers(0, len(files), size=len(files))
+            elif seed is not None:
+                order = rng.permutation(len(files))
+            else:
+                order = np.arange(len(files))
+            for i in order:
+                for raw in self._iter_tar(files[int(i)]):
+                    yield self._to_sample(raw)
+            if not repeat:
+                return
+
+
 class MixtureSource(DataSource):
     """Weighted mixture of sources (multi-dataset training).
 
@@ -288,10 +471,11 @@ class MixtureSource(DataSource):
 
 
 def get_source(name: str, **kw) -> DataSource:
-    """Source factory: 'tfrecord', 'csv', 'image_folder', 'synthetic',
-    'mixture'."""
+    """Source factory: 'tfrecord', 'webdataset', 'csv', 'image_folder',
+    'synthetic', 'mixture'."""
     factories = {
         "tfrecord": TFRecordSource,
+        "webdataset": WebDatasetSource,
         "csv": CsvSource,
         "image_folder": ImageFolderSource,
         "synthetic": SyntheticSource,

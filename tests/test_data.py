@@ -262,3 +262,97 @@ def test_image_folder_source(tmp_path):
 def test_get_source_names():
     with pytest.raises(KeyError, match="csv"):
         core.get_source("nope")
+
+
+def _wds_shard(path, samples):
+    """Write a webdataset tar: samples = [(key, {suffix: bytes})]."""
+    import tarfile
+    with tarfile.open(path, "w") as tf:
+        for key, members in samples:
+            for suffix, data in members.items():
+                info = tarfile.TarInfo(f"{key}.{suffix}")
+                info.size = len(data)
+                tf.addfile(info, io.BytesIO(data))
+
+
+def test_webdataset_source(tmp_path):
+    """LAION-format tar shards (clipa_torch/training/data.py:340-392):
+    group-by-key, caption/image filter, rename to image/texts, json
+    sidecar parsed, raw bytes out."""
+    _wds_shard(tmp_path / "00000.tar", [
+        ("s0", {"jpg": _png_bytes((255, 0, 0)), "txt": b"first caption",
+                "json": b'{"width": 8}'}),
+        ("s1", {"png": _png_bytes((0, 255, 0)), "txt": b"second caption"}),
+        ("s2", {"txt": b"no image, dropped"}),
+        ("s3", {"jpg": _png_bytes((0, 0, 255))}),  # no caption, dropped
+    ])
+    _wds_shard(tmp_path / "00001.tar", [
+        ("s4", {"webp": _png_bytes((9, 9, 9)), "txt": b"third"}),
+    ])
+
+    src = core.WebDatasetSource(str(tmp_path / "{00000..00001}.tar"))
+    assert len(src.files) == 2
+    samples = list(src.iter_process_shard())
+    assert [s["texts"] for s in samples] == [
+        "first caption", "second caption", "third"]
+    assert samples[0]["json"] == {"width": 8}
+    from clipa_tpu.pp import ops_image
+    img = ops_image.get_decode()({"image": samples[0]["image"]})["image"]
+    assert img.shape == (8, 8, 3)
+
+    # n_examples contract (--train-num-samples): explicit wins, else counted
+    assert src.total_examples() == 3
+    assert core.WebDatasetSource([str(tmp_path / "00000.tar")],
+                                 n_examples=10).total_examples() == 10
+
+    # seeded epochs reshuffle shards; resampled draws with replacement
+    it = core.WebDatasetSource(
+        str(tmp_path / "0000*.tar"), n_examples=3,
+        resampled=True).iter_process_shard(repeat=True, seed=1)
+    assert len([next(it) for _ in range(8)]) == 8
+
+
+def test_webdataset_group_by_keys_nothrow(tmp_path):
+    """Repeated-suffix and prefix-change both close a sample, and a
+    multi-dot suffix groups with its base (reference group_by_keys_nothrow,
+    clipa_torch/training/data.py:191-216)."""
+    import tarfile
+    with tarfile.open(tmp_path / "t.tar", "w") as tf:
+        for name, data in [
+                ("a.txt", b"cap a"), ("a.seg.jpg", b"ignored-extra"),
+                ("a.jpg", _png_bytes((1, 1, 1))),
+                # repeated suffix for the same prefix -> new sample
+                ("a.txt", b"cap a2"), ("a.jpg", _png_bytes((2, 2, 2))),
+                ("b.jpg", _png_bytes((3, 3, 3))), ("b.txt", b"cap b")]:
+            info = tarfile.TarInfo(name)
+            info.size = len(data)
+            tf.addfile(info, io.BytesIO(data))
+    src = core.WebDatasetSource([str(tmp_path / "t.tar")])
+    samples = list(src.iter_process_shard())
+    assert [s["texts"] for s in samples] == ["cap a", "cap a2", "cap b"]
+    assert samples[0]["seg.jpg"] == b"ignored-extra"
+
+
+def test_webdataset_expand_urls():
+    assert core.expand_urls("a/{00..02}.tar") == [
+        "a/00.tar", "a/01.tar", "a/02.tar"]
+    assert core.expand_urls("x{1..2}y{8..9}.tar") == [
+        "x1y8.tar", "x1y9.tar", "x2y8.tar", "x2y9.tar"]
+    assert core.expand_urls("a.tar::b.tar") == ["a.tar", "b.tar"]
+
+
+def test_webdataset_in_pipeline(tmp_path):
+    """webdataset -> pp -> batches through the training pipeline."""
+    _wds_shard(tmp_path / "00000.tar", [
+        (f"s{i}", {"jpg": _png_bytes((i * 30 % 255, 0, 0)),
+                   "txt": f"caption {i}".encode()})
+        for i in range(8)
+    ])
+    src = core.get_source("webdataset", pattern=str(tmp_path / "00000.tar"),
+                          n_examples=8)
+    from clipa_tpu import registry
+    pp = registry.get_preprocess_fn("decode|resize(8)|keep('image')")
+    it = pipeline.make_for_train(src, pp, batch_size=4, shuffle_buffer=8,
+                                 seed=0, num_workers=0)
+    batch = next(it)
+    assert batch["image"].shape == (4, 8, 8, 3)
