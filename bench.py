@@ -31,7 +31,12 @@ import numpy as np
 
 STAGES = {
     # name: (res, text_tokens, mask_ratio, tpu_batch)
-    "pretrain": (112, 8, 0.0, 512),
+    # Batch is per-chip and swept per stage: 384 beats 512 at the pretrain
+    # shape on v5e (1333 vs 1288 pairs/s — fewer XLA memory-pressure remats;
+    # NEXT.md round-4 log). The reference itself ran 256/core
+    # (model_h/84_8_pre_training.py:27), so the normalized pairs/sec/chip
+    # comparison is batch-fair.
+    "pretrain": (112, 8, 0.0, 384),
     "finetune224": (224, 32, 0.3, 256),
     "finetune336": (336, 32, 0.4, 128),
 }
@@ -41,7 +46,8 @@ def build_step(dtype_str: str, batch: int, res: int = 112, tokens: int = 8,
                variant: str = "L/16", mu_dtype: str = None,
                remat: str = "none", quant: str = None,
                attn_impl: str = "auto", optax_name: str = "scale_by_adam",
-               norm_metrics: str = "log", **extra_config):
+               norm_metrics: str = "log", stream: str = "flat",
+               **extra_config):
     import jax
     import jax.numpy as jnp
     from clipa_tpu import optim
@@ -57,10 +63,10 @@ def build_step(dtype_str: str, batch: int, res: int = 112, tokens: int = 8,
     model = two_towers.Model(
         image={"variant": variant, "pool_type": "tok", "posemb": "sincos2d",
                "remat_policy": remat, "quant": quant,
-               "attn_impl": attn_impl},
+               "attn_impl": attn_impl, "stream": stream},
         text={"variant": tv, "pool_type": "last", "vocab_size": 32000,
               "remat_policy": remat, "quant": quant,
-              "attn_impl": attn_impl},
+              "attn_impl": attn_impl, "stream": stream},
         out_dim=(out_dim, out_dim), temperature_init=1 / 0.07, dtype=dtype)
 
     config_kw = dict(
@@ -217,15 +223,20 @@ def main(argv=None):
     # state (params + fp32 Adam moments) alone is ~4.7G and both don't fit.
     del update, state, gbatch
 
-    # Reference-equivalent baseline: fp32 everywhere (what clipa_jax's pmap
-    # trainer runs by default: fp32 params/compute, fp32 Adam), stock XLA
-    # attention. Timed TWICE on the same compiled program — the two readings
-    # and their spread are reported so vs_baseline is auditable against the
-    # relay's session-to-session wobble (~±8% historically when measured
-    # once per session).
+    # Reference-equivalent baseline: the program clipa_jax's trainer runs,
+    # on this chip — fp32 params/compute/Adam, stock XLA attention, the
+    # reference's (B, L, D) residual-stream layout (stream="ref3d";
+    # clipa_jax/models/vit.py:164-183), and unconditional param/grad norm
+    # metrics inside the jitted step (the reference computes them every
+    # step, clipa_jax/main.py:296-381; ours gates them behind a log-scale
+    # schedule). Timed TWICE on the same compiled program — the two
+    # readings and their spread are reported so vs_baseline is auditable
+    # against the relay's session-to-session wobble (~±8% historically
+    # when measured once per session).
     update_b, state_b, gbatch_b, base_time1, _, base_batch = \
         _measure_with_fallback("float32", batch, iters,
-                               attn_impl="xla", **shape_kw)
+                               attn_impl="xla", stream="ref3d",
+                               norm_metrics="always", **shape_kw)
     base_time2, _, _ = time_steps(update_b, state_b, gbatch_b, warmup=1,
                                   iters=iters)
     del update_b, state_b, gbatch_b

@@ -312,6 +312,11 @@ class Encoder(nn.Module):
     gelu_approx: Any = True
     ln_eps: float = 1e-6
     ls_init: Optional[float] = None
+    # "flat" (default) runs the residual stream as (B*L, D); "ref3d" keeps
+    # the reference's (B, L, D) stream (clipa_jax/models/vit.py:164-183
+    # shape) — used by bench.py's reference-equivalent baseline and as an
+    # ablation switch for the layout-copy effect the flat stream removes.
+    stream: str = "flat"
 
     @nn.compact
     def __call__(self, x: Array, deterministic: bool = True,
@@ -330,7 +335,7 @@ class Encoder(nn.Module):
         # at the flagship L/16@112 shape; r2's partial 2D attempt failed
         # precisely because the kernel still took 3D operands).
         seq = None
-        if mask is None and x.ndim == 3:
+        if mask is None and x.ndim == 3 and self.stream == "flat":
             n, seq, d = x.shape
             x = x.reshape(n * seq, d)
 

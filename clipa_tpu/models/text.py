@@ -55,6 +55,8 @@ class _Model(nn.Module):
     dtype: Optional[Any] = None
     attn_impl: str = "auto"
     quant: Optional[str] = None
+    # Residual-stream layout: "flat" or "ref3d" (see layers.Encoder.stream).
+    stream: str = "flat"
     # open_clip-variant fidelity: causal (autoregressive) attention mask,
     # the open_clip TextTransformer default (`attention_mask: true`,
     # clipa_torch/open_clip/transformer.py:619-625). CLIPA-v2/BigVision
@@ -144,6 +146,7 @@ class _Model(nn.Module):
             block_init_fn=lambda i: block_inits,
             dtype=dtype, attn_impl=self.attn_impl, quant=self.quant,
             gelu_approx=self.gelu_approx, ln_eps=self.ln_eps,
+            stream=self.stream,
             name="Transformer")(x, not train, mask)
 
         if self.embed_cls:

@@ -120,6 +120,9 @@ class _Model(nn.Module):
     ln_eps: float = 1e-6
     # LayerScale init (open_clip vision_cfg.ls_init_value); None = off
     ls_init: Optional[float] = None
+    # Residual-stream layout: "flat" (B*L, D) or "ref3d" (B, L, D); see
+    # layers.Encoder.stream.
+    stream: str = "flat"
 
     @nn.compact
     def __call__(self, image: Array, *, train: bool = False,
@@ -178,7 +181,7 @@ class _Model(nn.Module):
             remat_policy=self.remat_policy, dtype=dtype,
             attn_impl=self.attn_impl, quant=self.quant,
             gelu_approx=self.gelu_approx, ln_eps=self.ln_eps,
-            ls_init=self.ls_init,
+            ls_init=self.ls_init, stream=self.stream,
             name="Transformer")(x, not train)
         out["encoded"] = x
 
