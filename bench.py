@@ -30,15 +30,17 @@ import time
 import numpy as np
 
 STAGES = {
-    # name: (res, text_tokens, mask_ratio, tpu_batch)
-    # Batch is per-chip and swept per stage: 384 beats 512 at the pretrain
-    # shape on v5e (1333 vs 1288 pairs/s — fewer XLA memory-pressure remats;
-    # NEXT.md round-4 log). The reference itself ran 256/core
-    # (model_h/84_8_pre_training.py:27), so the normalized pairs/sec/chip
-    # comparison is batch-fair.
-    "pretrain": (112, 8, 0.0, 384),
-    "finetune224": (224, 32, 0.3, 256),
-    "finetune336": (336, 32, 0.4, 128),
+    # name: (res, text_tokens, mask_ratio, tpu_batch, baseline_batch)
+    # Batches are per-chip and each side runs its own measured-best batch
+    # (pairs/sec/chip normalizes the comparison): ours 384 beats 512 at the
+    # pretrain shape (1333 vs 1288 pairs/s — fewer XLA memory-pressure
+    # remats); the fp32 baseline's best is 256 (806.2 vs 786.8 @384 vs
+    # 732.9 @512, measured this round), which is ALSO the reference's own
+    # per-core batch (model_h/84_8_pre_training.py:27: 16384 global / 64
+    # v3 cores). None = baseline inherits ours (OOM-halving still applies).
+    "pretrain": (112, 8, 0.0, 384, 256),
+    "finetune224": (224, 32, 0.3, 256, None),
+    "finetune336": (336, 32, 0.4, 128, None),
 }
 
 
@@ -119,18 +121,22 @@ def time_steps(update, state, batch, warmup: int = 3, iters: int = 20):
     return dt / iters, loss, state
 
 
-def measure_matmul_peak(n: int = 8192, iters: int = 40) -> float:
-    """Measured bf16 matmul peak of this chip (FLOP/s) — the MFU denominator.
+def measure_matmul_peak(n: int = 8192, iters: int = 40,
+                        dtype=None) -> float:
+    """Measured matmul peak of this chip (FLOP/s) — the MFU denominator.
 
     Measured rather than assumed: the bench may run behind a relay with its
     own ceiling, and nominal datasheet numbers would overstate attainable
     peak (reference metric: clipa_jax/helpers/utils.py:367 reports only
     img/sec; we additionally report utilization against hardware reality).
+    The fp32 peak is measured too, so the baseline's own MFU is auditable:
+    it bounds how much of vs_baseline is our program vs the chip's
+    fp32:bf16 rate ratio.
     """
     import jax
     import jax.numpy as jnp
     import functools
-    a = jnp.ones((n, n), jnp.bfloat16)
+    a = jnp.ones((n, n), dtype or jnp.bfloat16)
 
     @jax.jit
     def chain(a, k):
@@ -183,7 +189,7 @@ def main(argv=None):
     parser.add_argument("--batch", type=int, default=None)
     parser.add_argument("--iters", type=int, default=None)
     args = parser.parse_args(argv)
-    res, tokens, mask_ratio, tpu_batch = STAGES[args.stage]
+    res, tokens, mask_ratio, tpu_batch, base_tpu_batch = STAGES[args.stage]
 
     import jax
     on_tpu = jax.devices()[0].platform == "tpu"
@@ -224,25 +230,39 @@ def main(argv=None):
     del update, state, gbatch
 
     # Reference-equivalent baseline: the program clipa_jax's trainer runs,
-    # on this chip — fp32 params/compute/Adam, stock XLA attention, the
+    # on this chip — fp32 params/compute, stock XLA attention, the
     # reference's (B, L, D) residual-stream layout (stream="ref3d";
-    # clipa_jax/models/vit.py:164-183), and unconditional param/grad norm
-    # metrics inside the jitted step (the reference computes them every
-    # step, clipa_jax/main.py:296-381; ours gates them behind a log-scale
+    # clipa_jax/models/vit.py:164-183), bf16 Adam moments (the reference's
+    # own optax config: model_h/84_8_pre_training.py:96 sets
+    # mu_dtype='bfloat16'), and unconditional param/grad norm metrics
+    # inside the jitted step (the reference computes them every step,
+    # clipa_jax/main.py:296-381; ours gates them behind a log-scale
     # schedule). Timed TWICE on the same compiled program — the two
     # readings and their spread are reported so vs_baseline is auditable
     # against the relay's session-to-session wobble (~±8% historically
     # when measured once per session).
+    base_batch0 = base_tpu_batch if (on_tpu and base_tpu_batch
+                                     and not args.batch) else batch
     update_b, state_b, gbatch_b, base_time1, _, base_batch = \
-        _measure_with_fallback("float32", batch, iters,
+        _measure_with_fallback("float32", base_batch0, iters,
                                attn_impl="xla", stream="ref3d",
-                               norm_metrics="always", **shape_kw)
-    base_time2, _, _ = time_steps(update_b, state_b, gbatch_b, warmup=1,
-                                  iters=iters)
+                               norm_metrics="always", mu_dtype="bfloat16",
+                               **shape_kw)
+    base_time2, _, state_b = time_steps(update_b, state_b, gbatch_b,
+                                        warmup=1, iters=iters)
+    base_flops = step_flops(update_b, state_b, gbatch_b)
     del update_b, state_b, gbatch_b
     base_time = (base_time1 + base_time2) / 2
     base_pairs = base_batch / base_time / n_chips
     base_spread_pct = abs(base_time1 - base_time2) / base_time * 100
+    # The baseline's own utilization against the measured fp32 matmul peak:
+    # if it is already near 1.0, vs_baseline's ceiling is the chip's
+    # fp32:bf16 rate ratio times OUR utilization — there is no baseline
+    # inefficiency left to beat, only hardware rate.
+    import jax.numpy as jnp
+    peak32 = measure_matmul_peak(dtype=jnp.float32) if on_tpu else 0.0
+    base_mfu = (base_flops / base_time / peak32 / n_chips) \
+        if (base_flops and peak32) else None
 
     stage_desc = {
         "pretrain": "pretrain (112px, 8 text tokens)",
@@ -264,6 +284,12 @@ def main(argv=None):
             "baseline_step_time_ms": [round(base_time1 * 1e3, 2),
                                       round(base_time2 * 1e3, 2)],
             "baseline_spread_pct": round(base_spread_pct, 2),
+            "baseline_step_tflops":
+                round(base_flops / 1e12, 2) if base_flops else None,
+            "measured_fp32_matmul_peak_tflops":
+                round(peak32 / 1e12, 1) if peak32 else None,
+            "baseline_mfu_vs_fp32_peak":
+                round(base_mfu, 3) if base_mfu is not None else None,
             "iters": iters,
             "final_loss": round(loss, 4),
             "step_tflops": round(flops / 1e12, 2) if flops else None,
