@@ -421,3 +421,25 @@ def test_t5_converter_strict_and_zoo():
     xl = openclip._to_two_towers_cfg(
         openclip.get_model_config("mt5-xl-ViT-H-14"))
     assert xl["text"]["variant"] == "mt5-xl"
+
+
+def test_ref3d_stream_matches_flat(tiny_params):
+    """The bench baseline's `stream="ref3d"` layout (the reference's
+    (B, L, D) residual stream, clipa_jax/models/vit.py:164-183) must be a
+    pure layout change: same params, same outputs as the default flat
+    (B*L, D) stream."""
+    model, params = tiny_params
+    model3d = two_towers.Model(
+        image={"variant": "Ti/16", "pool_type": "tok",
+               "posemb": "sincos2d", "stream": "ref3d"},
+        text={"variant": "Ti", "pool_type": "last", "vocab_size": 128,
+              "stream": "ref3d"},
+        out_dim=(64, 64), temperature_init=1 / 0.07)
+    images = jnp.linspace(0, 1, 2 * 32 * 32 * 3).reshape(2, 32, 32, 3)
+    texts = jnp.arange(16, dtype=jnp.int32).reshape(2, 8) % 128
+    zi, zt, _ = model.apply({"params": params}, images, texts)
+    zi3, zt3, _ = model3d.apply({"params": params}, images, texts)
+    np.testing.assert_allclose(np.asarray(zi3), np.asarray(zi),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(zt3), np.asarray(zt),
+                               rtol=1e-5, atol=1e-5)
