@@ -87,16 +87,25 @@ class MultiHeadAttention(nn.Module):
         # Projections keep the packed (B, L, D) layout end to end: a 4D
         # (B, L, H, head_dim) tensor lane-pads head_dim 64 -> 128 in TPU HBM
         # (2x the bytes for every q/k/v/out buffer); heads are split
-        # on-chip by the attention core instead.
-        q = _ProjIn(self.num_heads, head_dim, self.qkv_kernel_init,
-                    self.use_bias, dtype, self.quant, name="query")(inputs_q)
-        k = _ProjIn(self.num_heads, head_dim, self.qkv_kernel_init,
-                    self.use_bias, dtype, self.quant, name="key")(inputs_kv)
-        v = _ProjIn(self.num_heads, head_dim, self.qkv_kernel_init,
-                    self.use_bias, dtype, self.quant, name="value")(inputs_kv)
+        # on-chip by the attention core instead. Projection biases are NOT
+        # added here: the attention core either fuses them into its kernels
+        # (so the backward emits bias grads from VMEM instead of re-reading
+        # the (B·L, D) grads from HBM) or adds them itself, in which case
+        # XLA folds the add into the GEMM epilogue exactly as before.
+        q, bq = _ProjIn(self.num_heads, head_dim, self.qkv_kernel_init,
+                        self.use_bias, dtype, self.quant,
+                        name="query")(inputs_q)
+        k, bk = _ProjIn(self.num_heads, head_dim, self.qkv_kernel_init,
+                        self.use_bias, dtype, self.quant,
+                        name="key")(inputs_kv)
+        v, bv = _ProjIn(self.num_heads, head_dim, self.qkv_kernel_init,
+                        self.use_bias, dtype, self.quant,
+                        name="value")(inputs_kv)
 
-        y = multi_head_attention(q, k, v, self.num_heads, mask=mask,
-                                 impl=self.attn_impl, seq_len=self.seq_len)
+        y = multi_head_attention(
+            q, k, v, self.num_heads, mask=mask, impl=self.attn_impl,
+            seq_len=self.seq_len,
+            qkv_biases=(bq, bk, bv) if self.use_bias else None)
 
         return _ProjOut(d_model, self.num_heads, head_dim,
                         self.out_kernel_init, self.use_bias,
@@ -109,6 +118,10 @@ class _ProjIn(nn.Module):
     The parameter keeps the reference (d, H, hd) shape for checkpoint
     parity; it is reshaped (free) to (d, D) at use so the activation stays
     in the unpadded packed layout.
+
+    Returns ``(y, bias)`` with the bias NOT added (``bias`` is None when
+    `use_bias` is off): the attention core decides whether the add runs in
+    its fused kernels (bias grads from VMEM) or inline (GEMM epilogue).
     """
     num_heads: int
     head_dim: int
@@ -118,7 +131,7 @@ class _ProjIn(nn.Module):
     quant: Optional[str] = None
 
     @nn.compact
-    def __call__(self, x: Array) -> Array:
+    def __call__(self, x: Array):
         d_in = x.shape[-1]
         d_out = self.num_heads * self.head_dim
         kernel = self.param("kernel", self.kernel_init,
@@ -129,11 +142,11 @@ class _ProjIn(nn.Module):
                           n_contract=1)
         else:
             y = jnp.dot(x.astype(self.dtype), kernel2d.astype(self.dtype))
-        if self.use_bias:
-            bias = self.param("bias", nn.initializers.zeros,
-                              (self.num_heads, self.head_dim), jnp.float32)
-            y = y + bias.reshape(d_out).astype(self.dtype)
-        return y
+        if not self.use_bias:
+            return y, None
+        bias = self.param("bias", nn.initializers.zeros,
+                          (self.num_heads, self.head_dim), jnp.float32)
+        return y, bias.reshape(d_out).astype(self.dtype)
 
 
 class _ProjOut(nn.Module):

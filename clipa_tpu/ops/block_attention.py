@@ -553,3 +553,156 @@ def _fused2d_bwd(num_heads, seq, res, do):
 
 
 fused_attention_2d.defvjp(_fused2d_fwd, _fused2d_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Bias-fused variant: QKV projection biases ride the attention kernels
+# ---------------------------------------------------------------------------
+#
+# In the unfused graph the projection bias is free in the FORWARD (XLA folds
+# the (D,) add into the GEMM epilogue) but costs real time in the BACKWARD:
+# each bias grad is a standalone rowsum over the (B·L, D) dq/dk/dv tensor the
+# Pallas VJP just wrote — XLA cannot input-fuse a reduce across the custom-
+# call boundary, so it re-reads the whole tensor from HBM (measured 72
+# reduce_sum ops, 3.5 ms/step at the flagship shape). Here the bias add
+# moves inside the kernels (same operand rounding: round(dot) is already in
+# the q/k/v refs, the bias add rounds once — identical to the GEMM-epilogue
+# order) and the backward emits per-program bias-grad partials from the
+# VMEM-resident dq/dk/dv tiles, so the big tensors are read exactly once.
+
+def _fwd2d_bias_kernel(q_ref, k_ref, v_ref, bq_ref, bk_ref, bv_ref, o_ref, *,
+                       num_heads: int, seq: int, group: int, scale: float):
+    hd = q_ref.shape[-1] // num_heads
+    bias = _mask_bias(_block_diag_mask(group * seq, seq))
+    for h in range(num_heads):
+        sl = slice(h * hd, (h + 1) * hd)
+        qh = q_ref[:, sl] + bq_ref[:, sl]
+        kh = k_ref[:, sl] + bk_ref[:, sl]
+        s = jax.lax.dot_general(qh, kh, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32) * scale
+        e = jnp.exp(jnp.clip(s, -_EXP_CLIP, _EXP_CLIP) + bias)
+        r = jnp.sum(e, axis=-1, keepdims=True)
+        vh = v_ref[:, sl] + bv_ref[:, sl]
+        o = jax.lax.dot_general(e.astype(vh.dtype), vh,
+                                (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        o_ref[:, sl] = (o / r).astype(o_ref.dtype)
+
+
+def _bwd2d_bias_kernel(q_ref, k_ref, v_ref, do_ref, bq_ref, bk_ref, bv_ref,
+                       dq_ref, dk_ref, dv_ref, dbq_ref, dbk_ref, dbv_ref, *,
+                       num_heads: int, seq: int, group: int, scale: float):
+    hd = q_ref.shape[-1] // num_heads
+    f32 = jnp.float32
+    bias = _mask_bias(_block_diag_mask(group * seq, seq))
+    for h in range(num_heads):
+        sl = slice(h * hd, (h + 1) * hd)
+        qh = q_ref[:, sl] + bq_ref[:, sl]
+        kh = k_ref[:, sl] + bk_ref[:, sl]
+        vh = v_ref[:, sl] + bv_ref[:, sl]
+        doh = do_ref[:, sl]
+
+        s = jax.lax.dot_general(qh, kh, (((1,), (1,)), ((), ())),
+                                preferred_element_type=f32) * scale
+        p = _masked_softmax(s, bias)                          # (G*L, G*L)
+        dp = jax.lax.dot_general(doh, vh, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=f32)
+        ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+        dsb = (ds * scale).astype(qh.dtype)
+        pb = p.astype(qh.dtype)
+
+        dq = jax.lax.dot_general(dsb, kh, (((1,), (0,)), ((), ())),
+                                 preferred_element_type=f32)
+        dk = jax.lax.dot_general(dsb, qh, (((0,), (0,)), ((), ())),
+                                 preferred_element_type=f32)
+        dv = jax.lax.dot_general(pb, doh, (((0,), (0,)), ((), ())),
+                                 preferred_element_type=f32)
+        # Bias-grad partials from the VMEM-resident f32 grads (the whole
+        # point of this kernel): one sublane reduce per head, no HBM re-read.
+        dbq_ref[:, sl] = jnp.sum(dq, axis=0, keepdims=True
+                                 ).astype(dbq_ref.dtype)
+        dbk_ref[:, sl] = jnp.sum(dk, axis=0, keepdims=True
+                                 ).astype(dbk_ref.dtype)
+        dbv_ref[:, sl] = jnp.sum(dv, axis=0, keepdims=True
+                                 ).astype(dbv_ref.dtype)
+        dq_ref[:, sl] = dq.astype(dq_ref.dtype)
+        dk_ref[:, sl] = dk.astype(dk_ref.dtype)
+        dv_ref[:, sl] = dv.astype(dv_ref.dtype)
+
+
+def _call_fwd_2d_b(q, k, v, bq, bk, bv, num_heads, seq):
+    rows, d = q.shape
+    batch = rows // seq
+    g = _plan_2d(batch, seq, d, num_heads, bwd=False)
+    if g is None:
+        return _xla_reference_2d(q + bq, k + bk, v + bv, num_heads, seq)
+    scale = (d // num_heads) ** -0.5
+    spec = pl.BlockSpec((g * seq, d), lambda i: (i, 0),
+                        memory_space=pltpu.VMEM)
+    bspec = pl.BlockSpec((1, d), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_fwd2d_bias_kernel, num_heads=num_heads, seq=seq,
+                          group=g, scale=scale),
+        grid=(batch // g,),
+        in_specs=[spec, spec, spec, bspec, bspec, bspec],
+        out_specs=spec,
+        out_shape=jax.ShapeDtypeStruct((rows, d), q.dtype),
+        interpret=_interpret(),
+    )(q, k, v, bq.reshape(1, d), bk.reshape(1, d), bv.reshape(1, d))
+
+
+def _call_bwd_2d_b(q, k, v, bq, bk, bv, do, num_heads, seq):
+    rows, d = q.shape
+    batch = rows // seq
+    g = _plan_2d(batch, seq, d, num_heads, bwd=True)
+    if g is None:
+        _, vjp = jax.vjp(
+            lambda q, k, v, bq, bk, bv: _xla_reference_2d(
+                q + bq, k + bk, v + bv, num_heads, seq),
+            q, k, v, bq, bk, bv)
+        return vjp(do)
+    scale = (d // num_heads) ** -0.5
+    spec = pl.BlockSpec((g * seq, d), lambda i: (i, 0),
+                        memory_space=pltpu.VMEM)
+    bspec = pl.BlockSpec((1, d), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    dbspec = pl.BlockSpec((1, d), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    n_prog = batch // g
+    dq, dk, dv, dbq, dbk, dbv = pl.pallas_call(
+        functools.partial(_bwd2d_bias_kernel, num_heads=num_heads, seq=seq,
+                          group=g, scale=scale),
+        grid=(n_prog,),
+        in_specs=[spec, spec, spec, spec, bspec, bspec, bspec],
+        out_specs=(spec, spec, spec, dbspec, dbspec, dbspec),
+        out_shape=(jax.ShapeDtypeStruct((rows, d), q.dtype),
+                   jax.ShapeDtypeStruct((rows, d), k.dtype),
+                   jax.ShapeDtypeStruct((rows, d), v.dtype),
+                   jax.ShapeDtypeStruct((n_prog, d), jnp.float32),
+                   jax.ShapeDtypeStruct((n_prog, d), jnp.float32),
+                   jax.ShapeDtypeStruct((n_prog, d), jnp.float32)),
+        interpret=_interpret(),
+    )(q, k, v, do, bq.reshape(1, d), bk.reshape(1, d), bv.reshape(1, d))
+    # (n_prog, D) partials -> (D,): a trivial reduce vs re-reading (B*L, D).
+    return (dq, dk, dv, dbq.sum(0).astype(bq.dtype),
+            dbk.sum(0).astype(bk.dtype), dbv.sum(0).astype(bv.dtype))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7))
+def fused_attention_2d_b(q: Array, k: Array, v: Array, bq: Array, bk: Array,
+                         bv: Array, num_heads: int, seq: int) -> Array:
+    """`fused_attention_2d` over pre-bias projections: computes attention on
+    (q + bq, k + bk, v + bv) with (D,) biases, returning bias grads from the
+    backward kernel's VMEM tiles (see the section comment above)."""
+    return _call_fwd_2d_b(q, k, v, bq, bk, bv, num_heads, seq)
+
+
+def _fused2db_fwd(q, k, v, bq, bk, bv, num_heads, seq):
+    out = _call_fwd_2d_b(q, k, v, bq, bk, bv, num_heads, seq)
+    return out, (q, k, v, bq, bk, bv)
+
+
+def _fused2db_bwd(num_heads, seq, res, do):
+    q, k, v, bq, bk, bv = res
+    return _call_bwd_2d_b(q, k, v, bq, bk, bv, do, num_heads, seq)
+
+
+fused_attention_2d_b.defvjp(_fused2db_fwd, _fused2db_bwd)

@@ -226,3 +226,75 @@ def test_eligible_2d():
     assert not block_attention.eligible_2d(512 * 50 + 1, 1024, 16, 50, None)
     # head_dim not a multiple of 8 -> no
     assert not block_attention.eligible_2d(8 * 50, 36, 3, 50, None)
+
+
+@pytest.mark.parametrize("b,l,h,hd", SHAPES_2D[:2])
+def test_fused2d_bias_forward_and_grads(b, l, h, hd):
+    """The bias-fused kernel == attention(q+bq, k+bk, v+bv), incl. the
+    bias grads its backward emits from VMEM partials."""
+    d = h * hd
+    rng = np.random.RandomState(5)
+    q = jnp.asarray(rng.randn(b * l, d), jnp.float32)
+    k = jnp.asarray(rng.randn(b * l, d), jnp.float32)
+    v = jnp.asarray(rng.randn(b * l, d), jnp.float32)
+    bq = jnp.asarray(rng.randn(d), jnp.float32)
+    bk = jnp.asarray(rng.randn(d), jnp.float32)
+    bv = jnp.asarray(rng.randn(d), jnp.float32)
+
+    def ref_fn(q, k, v, bq, bk, bv):
+        o = attention.multi_head_attention(
+            (q + bq).reshape(b, l, d), (k + bk).reshape(b, l, d),
+            (v + bv).reshape(b, l, d), h, impl="xla")
+        return (o.astype(jnp.float32) ** 2).sum()
+
+    def fused_fn(q, k, v, bq, bk, bv):
+        o = block_attention.fused_attention_2d_b(q, k, v, bq, bk, bv, h, l)
+        return (o.astype(jnp.float32) ** 2).sum()
+
+    with jax.default_matmul_precision("highest"):
+        out = block_attention.fused_attention_2d_b(q, k, v, bq, bk, bv, h, l)
+        ref = attention.multi_head_attention(
+            (q + bq).reshape(b, l, d), (k + bk).reshape(b, l, d),
+            (v + bv).reshape(b, l, d), h, impl="xla").reshape(b * l, d)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=2e-5, rtol=2e-5)
+        g_ref = jax.grad(ref_fn, argnums=tuple(range(6)))(q, k, v, bq, bk, bv)
+        g_out = jax.grad(fused_fn, argnums=tuple(range(6)))(q, k, v,
+                                                            bq, bk, bv)
+    for a, b_ in zip(g_out[:3], g_ref[:3]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   atol=3e-4, rtol=3e-4)
+    # A bias grad is the rowsum of the corresponding tensor grad: tight
+    # against the kernel's OWN dq/dk/dv (pure accumulation-order noise),
+    # loose against the XLA reference (the summed per-element softmax
+    # rounding diffs are correlated, so they don't cancel like the
+    # per-element comparison above).
+    for db, dt, db_ref in zip(g_out[3:], g_out[:3], g_ref[3:]):
+        np.testing.assert_allclose(np.asarray(db),
+                                   np.asarray(dt).sum(axis=0),
+                                   atol=1e-4, rtol=1e-4)
+        np.testing.assert_allclose(np.asarray(db), np.asarray(db_ref),
+                                   atol=5e-3, rtol=5e-3)
+
+
+def test_mha_qkv_biases_arg_matches_inline_add():
+    """multi_head_attention(qkv_biases=...) == adding the biases up front,
+    on the XLA fallback path (CPU) for both 2D and 3D operands."""
+    b, l, h, hd = 2, 12, 4, 16
+    d = h * hd
+    rng = np.random.RandomState(6)
+    q = jnp.asarray(rng.randn(b, l, d), jnp.float32)
+    k = jnp.asarray(rng.randn(b, l, d), jnp.float32)
+    v = jnp.asarray(rng.randn(b, l, d), jnp.float32)
+    biases = tuple(jnp.asarray(rng.randn(d), jnp.float32) for _ in range(3))
+    ref = attention.multi_head_attention(q + biases[0], k + biases[1],
+                                         v + biases[2], h)
+    out3 = attention.multi_head_attention(q, k, v, h, qkv_biases=biases)
+    np.testing.assert_allclose(np.asarray(out3), np.asarray(ref),
+                               atol=1e-6, rtol=1e-6)
+    out2 = attention.multi_head_attention(
+        q.reshape(b * l, d), k.reshape(b * l, d), v.reshape(b * l, d),
+        h, seq_len=l, qkv_biases=biases)
+    np.testing.assert_allclose(np.asarray(out2),
+                               np.asarray(ref.reshape(b * l, d)),
+                               atol=1e-6, rtol=1e-6)
