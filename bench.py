@@ -166,6 +166,17 @@ def step_flops(update, state, batch) -> float:
         return 0.0
 
 
+def _is_oom(e: Exception) -> bool:
+    """Only genuine device memory exhaustion warrants a batch-halving retry;
+    anything else (lowering failures, shape bugs) must surface immediately
+    at the original batch — the round-4 Mosaic lowering error was retried
+    through five compiles before surfacing at the wrong batch size."""
+    msg = str(e)
+    return ("RESOURCE_EXHAUSTED" in msg or "Out of memory" in msg
+            or "out of memory" in msg or "Allocator" in msg
+            or "OOM" in msg)
+
+
 def _measure_with_fallback(dtype_str, batch, iters, **kw):
     """Builds + times a step, halving the batch on OOM (pairs/sec/chip
     normalizes the comparison; the reference itself ran 256 pairs/core —
@@ -176,10 +187,34 @@ def _measure_with_fallback(dtype_str, batch, iters, **kw):
             step_time, loss, state = time_steps(update, state, gbatch,
                                                 iters=iters)
             return update, state, gbatch, step_time, loss, batch
-        except Exception:
-            if batch <= 32:
+        except Exception as e:
+            if not _is_oom(e) or batch <= 32:
                 raise
             batch //= 2
+
+
+def lowering_check():
+    """TPU lowering gate: compile (not run) fwd+bwd+adam of the flagship
+    step for every stage shape. Catches Mosaic/Pallas lowering failures
+    that interpret-mode CPU tests structurally cannot (round-4 postmortem:
+    a backward kernel landed green on 312 CPU tests while failing lowering
+    on TPU at every batch size). Run after ANY ops/ or models/ change,
+    before committing. Exits non-zero on the first failure."""
+    import jax
+    assert jax.devices()[0].platform == "tpu", \
+        "lowering-check must run on the TPU (CPU interpret mode proves nothing)"
+    for stage in sorted(STAGES):
+        res, tokens, mask_ratio, tpu_batch, _ = STAGES[stage]
+        t0 = time.perf_counter()
+        update, state, gbatch = build_step(
+            "bfloat16", tpu_batch, res=res, tokens=tokens, variant="L/16",
+            mask_ratio=mask_ratio, mu_dtype="bfloat16",
+            optax_name="scale_by_fused_adam")
+        update.lower(state, gbatch).compile()
+        del update, state, gbatch
+        print(f"lowering-check {stage}: OK "
+              f"({time.perf_counter() - t0:.1f}s)")
+    print(json.dumps({"lowering_check": "pass", "stages": sorted(STAGES)}))
 
 
 def main(argv=None):
@@ -188,7 +223,14 @@ def main(argv=None):
     parser.add_argument("--stage", choices=sorted(STAGES), default="pretrain")
     parser.add_argument("--batch", type=int, default=None)
     parser.add_argument("--iters", type=int, default=None)
+    parser.add_argument("--lowering-check", action="store_true",
+                        help="compile fwd+bwd for all stage shapes on TPU "
+                             "and exit (the pre-commit gate for ops/ "
+                             "changes)")
     args = parser.parse_args(argv)
+    if args.lowering_check:
+        lowering_check()
+        return
     res, tokens, mask_ratio, tpu_batch, base_tpu_batch = STAGES[args.stage]
 
     import jax

@@ -512,6 +512,13 @@ def create_model(model_name: str, pretrained: Optional[str] = None, *,
         from clipa_tpu.compat import pretrained as registry
         if registry.is_pretrained_cfg(model_name, pretrained):
             pretrained = registry.download_pretrained(model_name, pretrained)
+        else:
+            # neither an existing path nor a registered tag: fail here with
+            # the known tags instead of an opaque file-open error later
+            raise KeyError(
+                f"pretrained={pretrained!r} is not a local file or a "
+                f"registered tag for {model_name!r}; known tags: "
+                f"{registry.list_pretrained_tags_by_model(model_name)}")
 
     cfg = get_model_config(model_name)
     image_size = force_image_size or cfg["vision_cfg"]["image_size"]

@@ -26,6 +26,19 @@ import numpy as np
 from clipa_tpu.data import tfrecord
 
 
+# Test/tooling seam: set to (process_index, process_count) to simulate a
+# multi-host split on a single-process runtime (e.g. validating a pod's
+# data split locally). None = the real JAX runtime values.
+_PROCESS_OVERRIDE: Optional[tuple[int, int]] = None
+
+
+def process_info() -> tuple[int, int]:
+    """(process_index, process_count) as seen by the data layer."""
+    if _PROCESS_OVERRIDE is not None:
+        return _PROCESS_OVERRIDE
+    return jax.process_index(), jax.process_count()
+
+
 class DataSource:
     """Interface: iterate sample dicts, know sizes, shard per process."""
 
@@ -33,12 +46,37 @@ class DataSource:
         raise NotImplementedError
 
     def num_examples_per_process(self) -> int:
-        n, p = self.total_examples(), jax.process_count()
-        return n // p + (jax.process_index() < n % p)
+        n = self.total_examples()
+        i, p = process_info()
+        return n // p + (i < n % p)
+
+    def even_example_range(self) -> tuple[int, int]:
+        """Contiguous [start, end) of global example ordinals this process
+        owns — `tfds.even_splits` semantics (reference
+        clipa_jax/datasets/tfds.py:38-39): per-process sizes differ by at
+        most one and agree with ``num_examples_per_process()`` regardless
+        of how examples are packed into shard files. Single-pass
+        (inference) iteration uses this split so every host's yield count
+        matches the padding math in ``data.pipeline.make_for_inference``
+        even when shards are uneven or fewer than hosts."""
+        n = self.total_examples()
+        i, p = process_info()
+        start = i * (n // p) + min(i, n % p)
+        return start, start + n // p + (i < n % p)
 
     def iter_process_shard(self, *, repeat: bool = False,
                            seed: Optional[int] = None) -> Iterator[dict]:
         """Yields this process's samples; repeat reshuffles shards per epoch."""
+        raise NotImplementedError
+
+    def template_example(self) -> dict:
+        """The global dataset's first raw example, fetchable by ANY process
+        (including one whose own split is empty — n < process_count). Used
+        by ``make_for_inference`` to synthesize zero-padding batches so all
+        hosts keep stepping the same jitted program (the reference's
+        infinite-padding trick, clipa_jax/datasets/input_pipeline.py:137-163,
+        padded from a tf.data stream that is never empty; a TF-free iterator
+        needs an explicit template)."""
         raise NotImplementedError
 
 
@@ -94,27 +132,74 @@ class TFRecordSource(DataSource):
         return self._n
 
     def process_files(self) -> list[str]:
-        return even_file_splits(self.files, jax.process_index(),
-                                jax.process_count())
+        return even_file_splits(self.files, *process_info())
+
+    def _file_lengths(self) -> Optional[list[int]]:
+        """Per-shard example counts from TFDS metadata, aligned with
+        self.files — lets the single-pass range split skip whole files.
+        None when metadata is absent or doesn't match the file list."""
+        info = os.path.join(os.path.dirname(self.files[0]),
+                            "dataset_info.json")
+        if not os.path.exists(info):
+            return None
+        try:
+            with open(info) as f:
+                meta = json.load(f)
+            lengths = [int(n) for s in meta["splits"]
+                       for n in s.get("shardLengths", [])]
+        except (KeyError, TypeError, ValueError):
+            return None
+        if len(lengths) == len(self.files) and \
+                (self._n is None or sum(lengths) == self._n):
+            return lengths
+        return None
+
+    def _parse(self, payload) -> dict:
+        sample = tfrecord.parse_example(payload)
+        if self.keys:
+            sample = {k: sample[k] for k in self.keys if k in sample}
+        return sample
+
+    def template_example(self) -> dict:
+        return self._parse(next(iter(tfrecord.read_records(self.files[0]))))
 
     def iter_process_shard(self, *, repeat: bool = False,
                            seed: Optional[int] = None) -> Iterator[dict]:
+        if not repeat:
+            # Single pass (inference): exact contiguous example-range split
+            # — whole-file splits desync the evaluators' padding math when
+            # shards are uneven or fewer than hosts (the per-host yield must
+            # match num_examples_per_process()). Reference semantics:
+            # tfds.even_splits, clipa_jax/datasets/tfds.py:38-39.
+            start, end = self.even_example_range()
+            if start >= end:
+                return
+            lengths = self._file_lengths()
+            pos = 0
+            for fi, path in enumerate(self.files):
+                if lengths is not None and pos + lengths[fi] <= start:
+                    pos += lengths[fi]  # wholly before our range: skip file
+                    continue
+                if pos >= end:
+                    return
+                for payload in tfrecord.read_records(path):
+                    if pos >= end:
+                        return
+                    if pos >= start:
+                        yield self._parse(payload)
+                    pos += 1
+            return
+        # Infinite (training) stream: file-granularity split — sequential
+        # shard reads are what object stores and the page cache want, and
+        # over a repeated stream balance is statistical, not per-pass.
         files = self.process_files()
         rng = np.random.default_rng(seed if seed is not None else 0)
-        epoch = 0
         while True:
             order = rng.permutation(len(files)) if seed is not None \
                 else np.arange(len(files))
             for i in order:
                 for payload in tfrecord.read_records(files[int(i)]):
-                    sample = tfrecord.parse_example(payload)
-                    if self.keys:
-                        sample = {k: sample[k] for k in self.keys
-                                  if k in sample}
-                    yield sample
-            epoch += 1
-            if not repeat:
-                return
+                    yield self._parse(payload)
 
 
 class SyntheticSource(DataSource):
@@ -136,10 +221,14 @@ class SyntheticSource(DataSource):
     def total_examples(self) -> int:
         return self._n
 
+    def template_example(self) -> dict:
+        return {"image": np.zeros((self.res, self.res, 3), np.uint8),
+                "texts": self.captions[0], "label": 0}
+
     def iter_process_shard(self, *, repeat: bool = False,
                            seed: Optional[int] = None) -> Iterator[dict]:
         per = self.num_examples_per_process()
-        rng = np.random.default_rng((seed or 0) + jax.process_index())
+        rng = np.random.default_rng((seed or 0) + process_info()[0])
         while True:
             for _ in range(per):
                 cls = int(rng.integers(0, len(self.captions)))
@@ -186,13 +275,18 @@ class CsvSource(DataSource):
     def total_examples(self) -> int:
         return len(self.rows)
 
+    def template_example(self) -> dict:
+        path, caption = self.rows[0]
+        with open(self._path(path), "rb") as f:
+            return {"image": f.read(), "texts": caption}
+
     def _path(self, p: str) -> str:
         return p if os.path.isabs(p) else os.path.join(self.base_dir, p)
 
     def iter_process_shard(self, *, repeat: bool = False,
                            seed: Optional[int] = None) -> Iterator[dict]:
-        mine = list(range(jax.process_index(), len(self.rows),
-                          jax.process_count()))
+        pidx, pcount = process_info()
+        mine = list(range(pidx, len(self.rows), pcount))
         rng = np.random.default_rng(seed if seed is not None else 0)
         while True:
             order = rng.permutation(len(mine)) if seed is not None \
@@ -239,10 +333,15 @@ class ImageFolderSource(DataSource):
     def total_examples(self) -> int:
         return len(self.samples)
 
+    def template_example(self) -> dict:
+        path, label = self.samples[0]
+        with open(path, "rb") as f:
+            return {"image": f.read(), "label": label}
+
     def iter_process_shard(self, *, repeat: bool = False,
                            seed: Optional[int] = None) -> Iterator[dict]:
-        mine = list(range(jax.process_index(), len(self.samples),
-                          jax.process_count()))
+        pidx, pcount = process_info()
+        mine = list(range(pidx, len(self.samples), pcount))
         rng = np.random.default_rng(seed if seed is not None else 0)
         while True:
             order = rng.permutation(len(mine)) if seed is not None \
@@ -323,15 +422,18 @@ class WebDatasetSource(DataSource):
                 self.files = expand_urls(pattern)
             else:
                 self.files = sorted(glob.glob(pattern)) or [pattern]
-            missing = [f for f in self.files if not os.path.exists(f)]
-            if missing:
-                raise FileNotFoundError(
-                    f"{len(missing)} webdataset shard(s) missing, e.g. "
-                    f"{missing[0]!r}")
         else:
             self.files = sorted(pattern)
         if not self.files:
             raise FileNotFoundError(f"No webdataset shards match {pattern}")
+        # Explicit lists get the same existence check as patterns: a typoed
+        # path would otherwise surface only as a logged-and-swallowed
+        # per-shard read warning, silently dropping its samples.
+        missing = [f for f in self.files if not os.path.exists(f)]
+        if missing:
+            raise FileNotFoundError(
+                f"{len(missing)} webdataset shard(s) missing, e.g. "
+                f"{missing[0]!r}")
         self.resampled = resampled
         self._n = n_examples if n_examples is not None \
             else self._metadata_count()
@@ -353,8 +455,26 @@ class WebDatasetSource(DataSource):
         return self._n
 
     def process_files(self) -> list[str]:
-        return even_file_splits(self.files, jax.process_index(),
-                                jax.process_count())
+        return even_file_splits(self.files, *process_info())
+
+    def _file_lengths(self) -> Optional[list[int]]:
+        """Per-shard sample counts from sizes.json, aligned with self.files
+        (lets the single-pass range split skip whole shards)."""
+        sizes = os.path.join(os.path.dirname(self.files[0]), "sizes.json")
+        if not os.path.exists(sizes):
+            return None
+        try:
+            with open(sizes) as f:
+                table = json.load(f)
+            vals = [table.get(os.path.basename(f)) for f in self.files]
+            if all(v is not None for v in vals):
+                return [int(v) for v in vals]
+        except (ValueError, TypeError):
+            pass
+        return None
+
+    def template_example(self) -> dict:
+        return self._to_sample(next(iter(self._iter_tar(self.files[0]))))
 
     @staticmethod
     def _iter_tar(path: str) -> Iterator[dict]:
@@ -419,6 +539,28 @@ class WebDatasetSource(DataSource):
 
     def iter_process_shard(self, *, repeat: bool = False,
                            seed: Optional[int] = None) -> Iterator[dict]:
+        if not repeat:
+            # Single pass: exact contiguous example-range split so every
+            # host's yield count matches num_examples_per_process() — see
+            # TFRecordSource.iter_process_shard for the rationale.
+            start, end = self.even_example_range()
+            if start >= end:
+                return
+            lengths = self._file_lengths()
+            pos = 0
+            for fi, path in enumerate(self.files):
+                if lengths is not None and pos + lengths[fi] <= start:
+                    pos += lengths[fi]
+                    continue
+                if pos >= end:
+                    return
+                for raw in self._iter_tar(path):
+                    if pos >= end:
+                        return
+                    if pos >= start:
+                        yield self._to_sample(raw)
+                    pos += 1
+            return
         files = self.process_files()
         rng = np.random.default_rng(seed if seed is not None else 0)
         while True:
@@ -431,8 +573,6 @@ class WebDatasetSource(DataSource):
             for i in order:
                 for raw in self._iter_tar(files[int(i)]):
                     yield self._to_sample(raw)
-            if not repeat:
-                return
 
 
 class MixtureSource(DataSource):
@@ -454,13 +594,18 @@ class MixtureSource(DataSource):
     def total_examples(self) -> int:
         return sum(s.total_examples() for s in self.sources)
 
+    def template_example(self) -> dict:
+        return self.sources[0].template_example()
+
     def iter_process_shard(self, *, repeat: bool = False,
                            seed: Optional[int] = None) -> Iterator[dict]:
         # mixing only makes sense for repeated (training) streams
         iters = [s.iter_process_shard(repeat=True, seed=seed)
                  for s in self.sources]
         rng = np.random.default_rng(seed if seed is not None else 0)
-        budget = self.total_examples()
+        # single pass: this process's share only, so the padded inference
+        # path's per-host yield matches num_examples_per_process()
+        budget = self.num_examples_per_process()
         produced = 0
         while True:
             i = int(rng.choice(len(iters), p=self.weights))

@@ -28,6 +28,7 @@ from typing import Any, Callable, Iterator, Optional
 import jax
 import numpy as np
 
+from clipa_tpu.data import core as data_core
 from clipa_tpu.data.core import DataSource
 from clipa_tpu.parallel import mesh as mesh_lib
 
@@ -51,13 +52,14 @@ def make_for_train(source: DataSource, pp_fn: Callable, batch_size: int,
     Threads remain the default: PIL/libjpeg release the GIL, and processes
     pay a pickle round-trip per sample.
     """
-    local_bs = batch_size // jax.process_count()
+    pidx, pcount = data_core.process_info()
+    local_bs = batch_size // pcount
 
     def sample_stream():
         it = source.iter_process_shard(repeat=True, seed=seed)
         for ordinal, sample in enumerate(it):
             sample["_rng"] = np.random.default_rng(
-                np.random.SeedSequence([seed, jax.process_index(), ordinal]))
+                np.random.SeedSequence([seed, pidx, ordinal]))
             yield sample
 
     stream = _shuffle(sample_stream(), shuffle_buffer, seed)
@@ -84,11 +86,10 @@ def make_for_inference(source: DataSource, pp_fn: Callable, batch_size: int,
     Every process yields the same number of batches (max over processes),
     padding with all-zero samples marked `_mask=0`.
     """
-    local_bs = batch_size // jax.process_count()
-    per_proc = source.num_examples_per_process()
+    pidx, p = data_core.process_info()
+    local_bs = batch_size // p
     # ceil over the *max* per-process count so all hosts step together.
     total = source.total_examples()
-    p = jax.process_count()
     max_per_proc = total // p + (1 if total % p else 0)
     n_batches = max(1, -(-max_per_proc // local_bs))
 
@@ -98,7 +99,7 @@ def make_for_inference(source: DataSource, pp_fn: Callable, batch_size: int,
         yielded = 0
         for ordinal, sample in enumerate(it):
             sample["_rng"] = np.random.default_rng(
-                np.random.SeedSequence([0, jax.process_index(), ordinal]))
+                np.random.SeedSequence([0, pidx, ordinal]))
             out = pp_fn(sample)
             out.pop("_rng", None)
             out["_mask"] = np.asarray(1, np.int32)
@@ -106,6 +107,25 @@ def make_for_inference(source: DataSource, pp_fn: Callable, batch_size: int,
             yielded += 1
             yield out
         pad_total = n_batches * local_bs - yielded
+        if pad_total < 0:
+            # a source whose per-process yields exceed its advertised even
+            # split would silently desync hosts — fail loudly instead
+            raise RuntimeError(
+                f"source yielded {yielded} examples on process "
+                f"{pidx} but advertises at most "
+                f"{n_batches * local_bs} "
+                f"(total={total}, processes={p}); its iter_process_shard "
+                f"split disagrees with num_examples_per_process()")
+        if pad_total and template is None:
+            # this process's split is empty (total < process_count): build
+            # the padding template by preprocessing the dataset's first
+            # example — every host must still step the same program
+            sample = source.template_example()
+            sample["_rng"] = np.random.default_rng(
+                np.random.SeedSequence([0, pidx, 0]))
+            template = pp_fn(sample)
+            template.pop("_rng", None)
+            template["_mask"] = np.asarray(1, np.int32)
         for _ in range(pad_total):
             pad = {k: np.zeros_like(v) for k, v in template.items()}
             pad["_mask"] = np.asarray(0, np.int32)

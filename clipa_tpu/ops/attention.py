@@ -91,7 +91,8 @@ def multi_head_attention(q: Array, k: Array, v: Array, num_heads: int,
         if impl in ("auto", "fused") and _on_tpu() \
                 and q.shape == k.shape and seq_len >= _FUSED_MIN_SEQ \
                 and block_attention.eligible_2d(rows, d, num_heads,
-                                                seq_len, mask):
+                                                seq_len, mask,
+                                                bias=qkv_biases is not None):
             if qkv_biases is not None:
                 bq, bk, bv = (b.astype(q.dtype) for b in qkv_biases)
                 return block_attention.fused_attention_2d_b(

@@ -345,13 +345,21 @@ fused_attention.defvjp(_fused_fwd, _fused_bwd)
 _MAX_GROUP_2D = 8
 
 
-def _plan_2d(batch: int, seq: int, d_model: int, num_heads: int, bwd: bool):
+def _plan_2d(batch: int, seq: int, d_model: int, num_heads: int, bwd: bool,
+             bias: bool = False):
     """Returns the per-program sample group G, or None if nothing fits."""
     def fits(g):
         n = g * seq
         slabs = (4 if not bwd else 7) * n * d_model * 2 * 2
         # live fp32 (n, n) score temps: s/p (+dp/ds in bwd) + iota mask
         temps = (3 if not bwd else 5) * n * n * 4
+        if bias:
+            # bias-fused variant: three (1, d) bias inputs (8-sublane-padded
+            # tiles, double-buffered) and, in the backward, three (8, d)
+            # fp32 bias-grad partial output blocks (double-buffered).
+            slabs += 3 * 8 * d_model * 2 * 2
+            if bwd:
+                slabs += 3 * 8 * d_model * 4 * 2
         budget = _VMEM_BUDGET_BWD if bwd else _VMEM_BUDGET_FWD
         return slabs + temps < budget
 
@@ -378,7 +386,7 @@ def _plan_2d(batch: int, seq: int, d_model: int, num_heads: int, bwd: bool):
 
 
 def eligible_2d(rows: int, d_model: int, num_heads: int, seq: int,
-                mask) -> bool:
+                mask, bias: bool = False) -> bool:
     """Whether the 2D fused kernel can run for (rows=B*L, D) operands."""
     if mask is not None or rows % seq:
         return False
@@ -388,7 +396,8 @@ def eligible_2d(rows: int, d_model: int, num_heads: int, seq: int,
     batch = rows // seq
     # Forward plan gates dispatch (same policy as `eligible`): when the
     # backward doesn't fit, the VJP falls back to XLA einsum math.
-    return _plan_2d(batch, seq, d_model, num_heads, bwd=False) is not None
+    return _plan_2d(batch, seq, d_model, num_heads, bwd=False,
+                    bias=bias) is not None
 
 
 def _block_diag_mask(n: int, seq: int):
@@ -619,12 +628,17 @@ def _bwd2d_bias_kernel(q_ref, k_ref, v_ref, do_ref, bq_ref, bk_ref, bv_ref,
                                  preferred_element_type=f32)
         # Bias-grad partials from the VMEM-resident f32 grads (the whole
         # point of this kernel): one sublane reduce per head, no HBM re-read.
-        dbq_ref[:, sl] = jnp.sum(dq, axis=0, keepdims=True
-                                 ).astype(dbq_ref.dtype)
-        dbk_ref[:, sl] = jnp.sum(dk, axis=0, keepdims=True
-                                 ).astype(dbk_ref.dtype)
-        dbv_ref[:, sl] = jnp.sum(dv, axis=0, keepdims=True
-                                 ).astype(dbv_ref.dtype)
+        # The partial blocks are (8, d) — Mosaic requires an 8-divisible
+        # second-to-last block dim, so a (1, d) block is illegal for
+        # n_prog > 1 — with the rowsum in row 0 and zeros below (an iota
+        # select; full-sublane stores avoid masked single-row stores).
+        row0 = jax.lax.broadcasted_iota(jnp.int32, (8, hd), 0) == 0
+        dbq_ref[:, sl] = jnp.where(row0, jnp.sum(dq, axis=0, keepdims=True),
+                                   0.0).astype(dbq_ref.dtype)
+        dbk_ref[:, sl] = jnp.where(row0, jnp.sum(dk, axis=0, keepdims=True),
+                                   0.0).astype(dbk_ref.dtype)
+        dbv_ref[:, sl] = jnp.where(row0, jnp.sum(dv, axis=0, keepdims=True),
+                                   0.0).astype(dbv_ref.dtype)
         dq_ref[:, sl] = dq.astype(dq_ref.dtype)
         dk_ref[:, sl] = dk.astype(dk_ref.dtype)
         dv_ref[:, sl] = dv.astype(dv_ref.dtype)
@@ -633,7 +647,7 @@ def _bwd2d_bias_kernel(q_ref, k_ref, v_ref, do_ref, bq_ref, bk_ref, bv_ref,
 def _call_fwd_2d_b(q, k, v, bq, bk, bv, num_heads, seq):
     rows, d = q.shape
     batch = rows // seq
-    g = _plan_2d(batch, seq, d, num_heads, bwd=False)
+    g = _plan_2d(batch, seq, d, num_heads, bwd=False, bias=True)
     if g is None:
         return _xla_reference_2d(q + bq, k + bk, v + bv, num_heads, seq)
     scale = (d // num_heads) ** -0.5
@@ -654,7 +668,7 @@ def _call_fwd_2d_b(q, k, v, bq, bk, bv, num_heads, seq):
 def _call_bwd_2d_b(q, k, v, bq, bk, bv, do, num_heads, seq):
     rows, d = q.shape
     batch = rows // seq
-    g = _plan_2d(batch, seq, d, num_heads, bwd=True)
+    g = _plan_2d(batch, seq, d, num_heads, bwd=True, bias=True)
     if g is None:
         _, vjp = jax.vjp(
             lambda q, k, v, bq, bk, bv: _xla_reference_2d(
@@ -665,7 +679,11 @@ def _call_bwd_2d_b(q, k, v, bq, bk, bv, do, num_heads, seq):
     spec = pl.BlockSpec((g * seq, d), lambda i: (i, 0),
                         memory_space=pltpu.VMEM)
     bspec = pl.BlockSpec((1, d), lambda i: (0, 0), memory_space=pltpu.VMEM)
-    dbspec = pl.BlockSpec((1, d), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    # (8, d) partial blocks over an (8*n_prog, d) array: Mosaic's block
+    # constraint (second-to-last dim 8-divisible or equal to the array dim)
+    # rejects (1, d) blocks for n_prog > 1 — the round-4 lowering failure.
+    # Row 0 of each block holds the program's rowsum, rows 1-7 are zero.
+    dbspec = pl.BlockSpec((8, d), lambda i: (i, 0), memory_space=pltpu.VMEM)
     n_prog = batch // g
     dq, dk, dv, dbq, dbk, dbv = pl.pallas_call(
         functools.partial(_bwd2d_bias_kernel, num_heads=num_heads, seq=seq,
@@ -676,12 +694,13 @@ def _call_bwd_2d_b(q, k, v, bq, bk, bv, do, num_heads, seq):
         out_shape=(jax.ShapeDtypeStruct((rows, d), q.dtype),
                    jax.ShapeDtypeStruct((rows, d), k.dtype),
                    jax.ShapeDtypeStruct((rows, d), v.dtype),
-                   jax.ShapeDtypeStruct((n_prog, d), jnp.float32),
-                   jax.ShapeDtypeStruct((n_prog, d), jnp.float32),
-                   jax.ShapeDtypeStruct((n_prog, d), jnp.float32)),
+                   jax.ShapeDtypeStruct((8 * n_prog, d), jnp.float32),
+                   jax.ShapeDtypeStruct((8 * n_prog, d), jnp.float32),
+                   jax.ShapeDtypeStruct((8 * n_prog, d), jnp.float32)),
         interpret=_interpret(),
     )(q, k, v, do, bq.reshape(1, d), bk.reshape(1, d), bv.reshape(1, d))
-    # (n_prog, D) partials -> (D,): a trivial reduce vs re-reading (B*L, D).
+    # (8*n_prog, D) partials -> (D,): a trivial reduce vs re-reading
+    # (B*L, D); the zero rows cost nothing.
     return (dq, dk, dv, dbq.sum(0).astype(bq.dtype),
             dbk.sum(0).astype(bk.dtype), dbv.sum(0).astype(bv.dtype))
 
