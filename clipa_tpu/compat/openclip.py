@@ -671,15 +671,19 @@ def convert_torch_variables(sd: dict[str, np.ndarray], *,
 
     # ---- image tower ----
     if any(k.startswith("visual.trunk.") for k in sd):
-        # timm-trunk checkpoints (convnext/swin/relpos configs): the
-        # native towers exist for from-scratch training, but no weight
-        # converter is implemented for the timm parameter layout.
-        raise NotImplementedError(
-            "state_dict has a timm vision trunk (visual.trunk.*); the "
-            "torch converter covers CLIP ViT / ModifiedResNet / CoCa "
-            "layouts only — convnext/swin/relpos checkpoints cannot be "
-            "loaded (train those towers from scratch instead)")
-    if "visual.attnpool.positional_embedding" in sd:
+        if "visual.trunk.stem.0.weight" in sd:
+            # timm ConvNeXt trunk (convnext_* configs)
+            _convert_convnext_visual(sd, put)
+        else:
+            # remaining timm trunks (swin/relpos): native towers exist for
+            # from-scratch training, but no weight converter yet.
+            raise NotImplementedError(
+                "state_dict has a non-convnext timm vision trunk "
+                "(visual.trunk.*); the torch converter covers CLIP ViT / "
+                "ModifiedResNet / CoCa / timm-ConvNeXt layouts — swin/"
+                "relpos checkpoints cannot be loaded (train those towers "
+                "from scratch instead)")
+    elif "visual.attnpool.positional_embedding" in sd:
         _convert_resnet_visual(sd, put, stats)
     else:
         conv = sd["visual.conv1.weight"]  # (width, 3, p, p)
@@ -734,6 +738,77 @@ def convert_torch_variables(sd: dict[str, np.ndarray], *,
         out["batch_stats"] = u.recover_tree(list(stats.keys()),
                                             list(stats.values()))
     return out
+
+
+def _convert_convnext_visual(sd, put):
+    """timm ConvNeXt trunk + open_clip TimmModel head -> our native tower.
+
+    Source layout: `visual.trunk.*` (timm convnext: stem.{0 conv,1 LN},
+    stages.{i}.downsample.{0 LN,1 conv} for i>=1, stages.{i}.blocks.{j}.
+    {conv_dw,norm,mlp.fc1,mlp.fc2,gamma}, head.norm) plus the open_clip
+    adapter projection `visual.head.{proj|mlp.*}` (reference
+    clipa_torch/open_clip/timm_model.py:64-84). Target: models/convnext.py
+    (embedding, downsample_layers{i}{j}, encoderblock_j / stages{i}{j},
+    norm, head[_mlp_fc])."""
+    t = "visual.trunk"
+    put("img/embedding/kernel",
+        np.asarray(sd[f"{t}.stem.0.weight"]).transpose(2, 3, 1, 0))
+    put("img/embedding/bias", sd[f"{t}.stem.0.bias"])
+    put("img/downsample_layers01/scale", sd[f"{t}.stem.1.weight"])
+    put("img/downsample_layers01/bias", sd[f"{t}.stem.1.bias"])
+
+    stages = sorted({int(k.split(".")[3]) for k in sd
+                     if k.startswith(f"{t}.stages.")})
+    for i in stages:
+        sp = f"{t}.stages.{i}"
+        if i > 0:
+            put(f"img/downsample_layers{i}0/scale",
+                sd[f"{sp}.downsample.0.weight"])
+            put(f"img/downsample_layers{i}0/bias",
+                sd[f"{sp}.downsample.0.bias"])
+            put(f"img/downsample_layers{i}1/kernel",
+                np.asarray(sd[f"{sp}.downsample.1.weight"]
+                           ).transpose(2, 3, 1, 0))
+            put(f"img/downsample_layers{i}1/bias",
+                sd[f"{sp}.downsample.1.bias"])
+        blocks = sorted({int(k.split(".")[5]) for k in sd
+                         if k.startswith(f"{sp}.blocks.")})
+        for j in blocks:
+            bp = f"{sp}.blocks.{j}"
+            o = f"img/encoderblock_{j}" if i == 0 else f"img/stages{i}{j}"
+            # depthwise (C, 1, 7, 7) -> HWIO (7, 7, 1, C)
+            put(f"{o}/dwconv/kernel",
+                np.asarray(sd[f"{bp}.conv_dw.weight"]).transpose(2, 3, 1, 0))
+            put(f"{o}/dwconv/bias", sd[f"{bp}.conv_dw.bias"])
+            put(f"{o}/norm/scale", sd[f"{bp}.norm.weight"])
+            put(f"{o}/norm/bias", sd[f"{bp}.norm.bias"])
+            put(f"{o}/pwconv1/kernel", np.asarray(sd[f"{bp}.mlp.fc1.weight"]).T)
+            put(f"{o}/pwconv1/bias", sd[f"{bp}.mlp.fc1.bias"])
+            put(f"{o}/pwconv2/kernel", np.asarray(sd[f"{bp}.mlp.fc2.weight"]).T)
+            put(f"{o}/pwconv2/bias", sd[f"{bp}.mlp.fc2.bias"])
+            if f"{bp}.gamma" in sd:
+                put(f"{o}/gamma", sd[f"{bp}.gamma"])
+
+    # final LN after GAP: timm names vary by version (head.norm for the
+    # classifier-reset trunk open_clip builds; norm/norm_pre in older tags)
+    for cand in (f"{t}.head.norm", f"{t}.norm", f"{t}.norm_pre"):
+        if f"{cand}.weight" in sd:
+            put("img/norm/scale", sd[f"{cand}.weight"])
+            put("img/norm/bias", sd[f"{cand}.bias"])
+            break
+
+    # open_clip adapter projection: linear (timm_proj default) or mlp
+    if "visual.head.mlp.fc1.weight" in sd:
+        put("img/head_mlp_fc/kernel",
+            np.asarray(sd["visual.head.mlp.fc1.weight"]).T)
+        put("img/head_mlp_fc/bias", sd["visual.head.mlp.fc1.bias"])
+        put("img/head/kernel", np.asarray(sd["visual.head.mlp.fc2.weight"]).T)
+        if "visual.head.mlp.fc2.bias" in sd:
+            put("img/head/bias", sd["visual.head.mlp.fc2.bias"])
+    elif "visual.head.proj.weight" in sd:
+        put("img/head/kernel", np.asarray(sd["visual.head.proj.weight"]).T)
+        if "visual.head.proj.bias" in sd:
+            put("img/head/bias", sd["visual.head.proj.bias"])
 
 
 def _convert_attn_pooler(sd, src, dst, put):
@@ -888,6 +963,8 @@ def export_torch_state_dict(params, batch_stats=None) -> dict:
     is_coca = any(k.startswith("decoder/") for k in flat)
     if "img/attnpool/pos_embedding" in flat:
         _export_resnet_visual(flat, batch_stats, sd)
+    elif "img/downsample_layers01/scale" in flat:
+        _export_convnext_visual(flat, sd)
     else:
         _export_vit_visual(flat, sd, coca=is_coca)
     _export_blocks(flat, sd, "img/Transformer", "visual.transformer.resblocks")
@@ -1007,6 +1084,63 @@ def _export_vit_visual(flat, sd, coca: bool = False):
     if "img/ln_pre/scale" in flat:
         sd["visual.ln_pre.weight"] = np.asarray(flat["img/ln_pre/scale"])
         sd["visual.ln_pre.bias"] = np.asarray(flat["img/ln_pre/bias"])
+
+
+def _export_convnext_visual(flat, sd):
+    """img/* ConvNeXt tower -> timm trunk + open_clip TimmModel head keys
+    (inverse of _convert_convnext_visual)."""
+    t = "visual.trunk"
+    sd[f"{t}.stem.0.weight"] = np.asarray(
+        flat["img/embedding/kernel"]).transpose(3, 2, 0, 1)
+    sd[f"{t}.stem.0.bias"] = np.asarray(flat["img/embedding/bias"])
+    sd[f"{t}.stem.1.weight"] = np.asarray(flat["img/downsample_layers01/scale"])
+    sd[f"{t}.stem.1.bias"] = np.asarray(flat["img/downsample_layers01/bias"])
+    for i in range(4):
+        if i > 0:
+            if f"img/downsample_layers{i}0/scale" not in flat:
+                break
+            sd[f"{t}.stages.{i}.downsample.0.weight"] = np.asarray(
+                flat[f"img/downsample_layers{i}0/scale"])
+            sd[f"{t}.stages.{i}.downsample.0.bias"] = np.asarray(
+                flat[f"img/downsample_layers{i}0/bias"])
+            sd[f"{t}.stages.{i}.downsample.1.weight"] = np.asarray(
+                flat[f"img/downsample_layers{i}1/kernel"]).transpose(3, 2, 0, 1)
+            sd[f"{t}.stages.{i}.downsample.1.bias"] = np.asarray(
+                flat[f"img/downsample_layers{i}1/bias"])
+        j = 0
+        while True:
+            o = f"img/encoderblock_{j}" if i == 0 else f"img/stages{i}{j}"
+            if f"{o}/dwconv/kernel" not in flat:
+                break
+            bp = f"{t}.stages.{i}.blocks.{j}"
+            sd[f"{bp}.conv_dw.weight"] = np.asarray(
+                flat[f"{o}/dwconv/kernel"]).transpose(3, 2, 0, 1)
+            sd[f"{bp}.conv_dw.bias"] = np.asarray(flat[f"{o}/dwconv/bias"])
+            sd[f"{bp}.norm.weight"] = np.asarray(flat[f"{o}/norm/scale"])
+            sd[f"{bp}.norm.bias"] = np.asarray(flat[f"{o}/norm/bias"])
+            sd[f"{bp}.mlp.fc1.weight"] = np.asarray(
+                flat[f"{o}/pwconv1/kernel"]).T
+            sd[f"{bp}.mlp.fc1.bias"] = np.asarray(flat[f"{o}/pwconv1/bias"])
+            sd[f"{bp}.mlp.fc2.weight"] = np.asarray(
+                flat[f"{o}/pwconv2/kernel"]).T
+            sd[f"{bp}.mlp.fc2.bias"] = np.asarray(flat[f"{o}/pwconv2/bias"])
+            if f"{o}/gamma" in flat:
+                sd[f"{bp}.gamma"] = np.asarray(flat[f"{o}/gamma"])
+            j += 1
+    sd[f"{t}.head.norm.weight"] = np.asarray(flat["img/norm/scale"])
+    sd[f"{t}.head.norm.bias"] = np.asarray(flat["img/norm/bias"])
+    if "img/head_mlp_fc/kernel" in flat:
+        sd["visual.head.mlp.fc1.weight"] = np.asarray(
+            flat["img/head_mlp_fc/kernel"]).T
+        sd["visual.head.mlp.fc1.bias"] = np.asarray(
+            flat["img/head_mlp_fc/bias"])
+        sd["visual.head.mlp.fc2.weight"] = np.asarray(flat["img/head/kernel"]).T
+        if "img/head/bias" in flat:
+            sd["visual.head.mlp.fc2.bias"] = np.asarray(flat["img/head/bias"])
+    elif "img/head/kernel" in flat:
+        sd["visual.head.proj.weight"] = np.asarray(flat["img/head/kernel"]).T
+        if "img/head/bias" in flat:
+            sd["visual.head.proj.bias"] = np.asarray(flat["img/head/bias"])
 
 
 def _export_resnet_visual(flat, batch_stats, sd):

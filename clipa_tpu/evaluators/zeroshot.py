@@ -75,8 +75,14 @@ def shard_host_prompts(texts, owner, nproc: int, pidx: int, local_bs: int,
     base = -(-total // nproc)                       # ceil per host
     per_host = -(-base // local_bs) * local_bs      # same on all hosts
     lo, hi = pidx * base, min((pidx + 1) * base, total)
-    tokens = np.zeros((per_host,) + tuple(
-        pp_txt_fn({"texts": texts[0]})["labels"].shape), np.int32)
+    probe = pp_txt_fn({"texts": texts[0]})
+    if "labels" not in probe:
+        raise ValueError(
+            "the zero-shot evaluator's pp_txt must tokenize prompts into a "
+            "'labels' array (e.g. pp_txt='bert_tokenize(inkey=\"texts\", "
+            "max_len=..., vocab_path=...)'); the configured pp_txt produced "
+            f"keys {sorted(probe)}")
+    tokens = np.zeros((per_host,) + tuple(probe["labels"].shape), np.int32)
     owner_loc = np.zeros((per_host,), np.int32)
     mask_loc = np.zeros((per_host,), np.int32)
     for j, gi in enumerate(range(lo, hi)):

@@ -69,7 +69,11 @@ def multi_head_attention(q: Array, k: Array, v: Array, num_heads: int,
       num_heads: head count.
       mask: optional boolean (B, 1|H, Lq, Lk); True = attend. Masked
         attention always uses the XLA path.
-      impl: "auto" | "fused" | "xla" | "pallas".
+      impl: "auto" | "fused" | "fused_exact" | "xla" | "pallas".
+        "fused_exact" runs the fused kernels with the rowmax-subtracted
+        softmax — exact at any attention-logit scale, ~35-45% slower
+        kernel time; for long fine-tunes where logit growth past the
+        default clip (block_attention._EXP_CLIP) is a risk.
       seq_len: static sequence length; required iff operands are 2D.
       qkv_biases: optional ((D,), (D,), (D,)) projection biases NOT yet
         added to q/k/v. On the fused 2D path the bias add runs inside the
@@ -88,17 +92,18 @@ def multi_head_attention(q: Array, k: Array, v: Array, num_heads: int,
         if seq_len is None:
             raise ValueError("2D operands require seq_len")
         rows, d = q.shape
-        if impl in ("auto", "fused") and _on_tpu() \
+        if impl in ("auto", "fused", "fused_exact") and _on_tpu() \
                 and q.shape == k.shape and seq_len >= _FUSED_MIN_SEQ \
                 and block_attention.eligible_2d(rows, d, num_heads,
                                                 seq_len, mask,
                                                 bias=qkv_biases is not None):
+            exact = impl == "fused_exact"
             if qkv_biases is not None:
                 bq, bk, bv = (b.astype(q.dtype) for b in qkv_biases)
                 return block_attention.fused_attention_2d_b(
-                    q, k, v, bq, bk, bv, num_heads, seq_len)
+                    q, k, v, bq, bk, bv, num_heads, seq_len, exact)
             return block_attention.fused_attention_2d(q, k, v, num_heads,
-                                                      seq_len)
+                                                      seq_len, exact)
         # Fallback: reshape to (B, L, D) and use the 3D dispatch. Off-TPU
         # (tests) and masked/short-sequence paths land here; the reshape is
         # a bitcast under default layouts.
@@ -128,7 +133,7 @@ def multi_head_attention(q: Array, k: Array, v: Array, num_heads: int,
         else:
             impl = "xla"
 
-    if impl == "fused":
+    if impl in ("fused", "fused_exact"):
         # Explicit impl="fused" must not silently drop a mask or hand an
         # ineligible shape to the kernel (whose plan would be None).
         if mask is not None:
@@ -138,7 +143,8 @@ def multi_head_attention(q: Array, k: Array, v: Array, num_heads: int,
             raise ValueError(
                 f"impl='fused' ineligible for q.shape={q.shape}, "
                 f"num_heads={num_heads}; use impl='auto' to dispatch.")
-        return block_attention.fused_attention(q, k, v, num_heads)
+        return block_attention.fused_attention(q, k, v, num_heads,
+                                               impl == "fused_exact")
 
     b, l, d = q.shape
     hd = d // num_heads

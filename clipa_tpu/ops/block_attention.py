@@ -121,25 +121,49 @@ def _bdot(a, b, contract, batch=((0,), (0,))):
                                preferred_element_type=jnp.float32)
 
 
-# fp32 exp is finite and exact for |s| <= 80 (overflow at 88.7, underflow
-# to subnormals at -87.3); softmax rows clipped at +-80 deviate from the
-# exact result only when a row's true max exceeds 80 — a regime where the
-# softmax is already saturated one-hot and training long dead. With the
-# clip, denominators live in [e^-80, n*e^80]: never 0, never inf, no NaNs.
-_EXP_CLIP = 80.0
+# fp32 exp is finite for |s| <= 87 (overflow at 88.7, underflow to
+# subnormals at -87.3); softmax rows clipped at +-70 deviate from the
+# exact result only when a row's true max exceeds 70 — a regime where the
+# softmax is already saturated one-hot and training long dead. 70 (not 80)
+# leaves headroom for the deferred-normalization kernels, whose fp32 E@V
+# accumulation sums n unnormalized exp values times |v|: e^70 * 512 * 1e4
+# ~= 1.3e37 < fp32 max, where e^80 could overflow to inf before the
+# divide. Denominators live in [e^-70, n*e^70]: never 0, never inf.
+#
+# Saturation is not silent: the backward kernels zero d(logit) where the
+# clip is active (the true gradient of a clipped input), so a tower whose
+# logits run past the clip shows collapsing attention gradients in the
+# step's l2_grads metric rather than plausible-but-wrong updates. For long
+# fine-tunes where logit growth past 70 is a real risk, the towers accept
+# `attn_impl="fused_exact"` — the same kernels with the rowmax-subtracted
+# softmax (exact at any logit scale, ~35-45% slower kernel time from the
+# lane-axis max reduce; tools/scratch_attn_sweep.py).
+_EXP_CLIP = 70.0
 
 
-def _softmax(s):
-    # No rowmax subtraction: the lane-axis max reduce is the single most
-    # expensive VPU op in these kernels (measured ~35-45% of fwd kernel
-    # time at the flagship shape — tools/scratch_attn_sweep.py; lane
-    # reductions can't ride the MXU the way sum reductions do). The clip
-    # above replaces it for numeric safety.
-    e = jnp.exp(jnp.clip(s, -_EXP_CLIP, _EXP_CLIP))
+def _softmax(s, exact: bool = False):
+    # No rowmax subtraction by default: the lane-axis max reduce is the
+    # single most expensive VPU op in these kernels (measured ~35-45% of
+    # fwd kernel time at the flagship shape — tools/scratch_attn_sweep.py;
+    # lane reductions can't ride the MXU the way sum reductions do). The
+    # clip above replaces it for numeric safety; `exact` restores it.
+    if exact:
+        e = jnp.exp(s - jnp.max(s, axis=-1, keepdims=True))
+    else:
+        e = jnp.exp(jnp.clip(s, -_EXP_CLIP, _EXP_CLIP))
     return e / jnp.sum(e, axis=-1, keepdims=True)
 
 
-def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, *, num_heads: int, scale: float):
+def _clip_grad_mask(ds, s):
+    """d(clip)/ds is 0 where the clip saturates: zeroing ds there keeps the
+    custom VJP the true gradient of the clipped forward (otherwise the
+    saturation regime gets plausible-but-wrong updates, invisible to
+    gradient checks because custom_vjp hides the mismatch)."""
+    return jnp.where(jnp.abs(s) >= _EXP_CLIP, 0.0, ds)
+
+
+def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, *, num_heads: int, scale: float,
+                exact: bool):
     hd = q_ref.shape[-1] // num_heads
     for h in range(num_heads):
         sl = slice(h * hd, (h + 1) * hd)
@@ -151,7 +175,8 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, *, num_heads: int, scale: float):
         # kernel at fine-tune lengths (L=257/577) where score FLOPs are real.
         qh = q_ref[:, :, sl]                               # (G, bq, hd)
         kh = k_ref[:, :, sl]                               # (G, L, hd)
-        p = _softmax(_bdot(qh, kh, ((2,), (2,))) * scale)  # (G, bq, L) fp32
+        p = _softmax(_bdot(qh, kh, ((2,), (2,))) * scale,
+                     exact=exact)                          # (G, bq, L) fp32
         vh = v_ref[:, :, sl]
         o = _bdot(p.astype(vh.dtype), vh, ((2,), (1,)))
         o_ref[:, :, sl] = o.astype(o_ref.dtype)
@@ -159,7 +184,7 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, *, num_heads: int, scale: float):
 
 def _bwd_kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref, *,
                 num_heads: int, scale: float, seq: int, block_q: int,
-                accumulate: bool):
+                accumulate: bool, exact: bool):
     # `num_heads` is the heads present in this block (the plan's head
     # chunk); blocks slice the D axis when the grid has a head dimension.
     # `accumulate` is set when the q-tile sweep revisits the dK/dV blocks
@@ -201,9 +226,12 @@ def _bwd_kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref, *,
             qh = jnp.where(row_ok, qh, 0)
             doh = jnp.where(row_ok, doh, 0)
 
-        p = _softmax(_bdot(qh, kh, ((2,), (2,))) * scale)  # (G, bq, L) fp32
+        s = _bdot(qh, kh, ((2,), (2,))) * scale            # (G, bq, L) fp32
+        p = _softmax(s, exact=exact)
         dp = _bdot(doh, vh, ((2,), (2,)))                  # (G, bq, L) fp32
         ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+        if not exact:
+            ds = _clip_grad_mask(ds, s)
         if row_ok is not None:
             p = jnp.where(row_ok, p, 0.0)
             ds = jnp.where(row_ok, ds, 0.0)
@@ -225,7 +253,7 @@ def _bwd_kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref, *,
             dv_ref[:, :, sl] = dv.astype(dv_ref.dtype)
 
 
-def _call_fwd(q, k, v, num_heads):
+def _call_fwd(q, k, v, num_heads, exact=False):
     b, l, d = q.shape
     g, bq, hc = _plan(b, l, d, num_heads, bwd=False)
     dh = hc * (d // num_heads)
@@ -235,7 +263,8 @@ def _call_fwd(q, k, v, num_heads):
     kvspec = pl.BlockSpec((g, l, dh), lambda i, h, j: (i, 0, h),
                           memory_space=pltpu.VMEM)
     return pl.pallas_call(
-        functools.partial(_fwd_kernel, num_heads=hc, scale=scale),
+        functools.partial(_fwd_kernel, num_heads=hc, scale=scale,
+                          exact=exact),
         grid=(b // g, num_heads // hc, pl.cdiv(l, bq)),
         in_specs=[qspec, kvspec, kvspec],
         out_specs=qspec,
@@ -260,7 +289,7 @@ def _xla_reference(q, k, v, num_heads):
     return out.astype(q.dtype).reshape(b, l, d)
 
 
-def _call_bwd(q, k, v, do, num_heads):
+def _call_bwd(q, k, v, do, num_heads, exact=False):
     b, l, d = q.shape
     plan = _plan(b, l, d, num_heads, bwd=True)
     if plan is None:
@@ -281,7 +310,8 @@ def _call_bwd(q, k, v, do, num_heads):
                           memory_space=pltpu.VMEM)
     dq, dk, dv = pl.pallas_call(
         functools.partial(_bwd_kernel, num_heads=hc, scale=scale,
-                          seq=l, block_q=bq, accumulate=accumulate),
+                          seq=l, block_q=bq, accumulate=accumulate,
+                          exact=exact),
         grid=(b // g, num_heads // hc, pl.cdiv(l, bq)),
         in_specs=[qspec, kvspec, kvspec, qspec],
         out_specs=(qspec, kvspec, kvspec),
@@ -293,23 +323,25 @@ def _call_bwd(q, k, v, do, num_heads):
     return dq, dk.astype(k.dtype), dv.astype(v.dtype)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
-def fused_attention(q: Array, k: Array, v: Array, num_heads: int) -> Array:
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def fused_attention(q: Array, k: Array, v: Array, num_heads: int,
+                    exact: bool = False) -> Array:
     """Multi-head self-attention over packed (B, L, D) operands.
 
     Scores/softmax stay in VMEM; backward recomputes them (no residuals
     besides q, k, v). Equivalent to the XLA einsum path with fp32 softmax.
+    `exact` selects the rowmax-subtracted softmax (see _EXP_CLIP).
     """
-    return _call_fwd(q, k, v, num_heads)
+    return _call_fwd(q, k, v, num_heads, exact)
 
 
-def _fused_fwd(q, k, v, num_heads):
-    return _call_fwd(q, k, v, num_heads), (q, k, v)
+def _fused_fwd(q, k, v, num_heads, exact):
+    return _call_fwd(q, k, v, num_heads, exact), (q, k, v)
 
 
-def _fused_bwd(num_heads, res, do):
+def _fused_bwd(num_heads, exact, res, do):
     q, k, v = res
-    return _call_bwd(q, k, v, do, num_heads)
+    return _call_bwd(q, k, v, do, num_heads, exact)
 
 
 fused_attention.defvjp(_fused_fwd, _fused_bwd)
@@ -414,16 +446,25 @@ def _mask_bias(same):
     return jnp.where(same, 0.0, -1e30)
 
 
-def _masked_softmax(s, bias):
+def _masked_softmax(s, bias, exact: bool = False):
     # clip-then-bias: masked entries land at -1e30 -> exp == 0 exactly;
-    # unmasked rows keep >= seq entries in [e^-80, e^80], so denominators
-    # are never 0. No rowmax reduce — see _softmax for the rationale.
-    e = jnp.exp(jnp.clip(s, -_EXP_CLIP, _EXP_CLIP) + bias)
+    # unmasked rows keep >= seq entries in [e^-clip, e^clip], so
+    # denominators are never 0. No rowmax reduce by default — see _softmax
+    # for the rationale; `exact` restores it (max over s+bias so masked
+    # entries never win; the block diagonal guarantees an unmasked max).
+    e = _masked_exp(s, bias, exact)
     return e / jnp.sum(e, axis=-1, keepdims=True)
 
 
+def _masked_exp(s, bias, exact: bool):
+    if exact:
+        sb = s + bias
+        return jnp.exp(sb - jnp.max(sb, axis=-1, keepdims=True))
+    return jnp.exp(jnp.clip(s, -_EXP_CLIP, _EXP_CLIP) + bias)
+
+
 def _fwd2d_kernel(q_ref, k_ref, v_ref, o_ref, *, num_heads: int, seq: int,
-                  group: int, scale: float):
+                  group: int, scale: float, exact: bool):
     hd = q_ref.shape[-1] // num_heads
     bias = _mask_bias(_block_diag_mask(group * seq, seq))
     for h in range(num_heads):
@@ -438,11 +479,11 @@ def _fwd2d_kernel(q_ref, k_ref, v_ref, o_ref, *, num_heads: int, seq: int,
         # the (G*L, G*L) score domain to the (G*L, hd) output domain —
         # measured -10% fwd kernel time at the flagship shape (B=512,
         # L=50, D=1024; scratch_defer_norm.py). exp(clip+bias) keeps
-        # masked entries at exactly 0 and r >= seq*e^-80 > 0 (see
+        # masked entries at exactly 0 and r >= seq*e^-clip > 0 (see
         # _masked_softmax). E is cast to the MXU input dtype BEFORE
         # normalization either way, so numerics match the normalized
         # kernel to 1 bf16 ulp.
-        e = jnp.exp(jnp.clip(s, -_EXP_CLIP, _EXP_CLIP) + bias)
+        e = _masked_exp(s, bias, exact)
         r = jnp.sum(e, axis=-1, keepdims=True)
         vh = v_ref[:, sl]
         o = jax.lax.dot_general(e.astype(vh.dtype), vh,
@@ -452,7 +493,8 @@ def _fwd2d_kernel(q_ref, k_ref, v_ref, o_ref, *, num_heads: int, seq: int,
 
 
 def _bwd2d_kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref, *,
-                  num_heads: int, seq: int, group: int, scale: float):
+                  num_heads: int, seq: int, group: int, scale: float,
+                  exact: bool):
     hd = q_ref.shape[-1] // num_heads
     f32 = jnp.float32
     bias = _mask_bias(_block_diag_mask(group * seq, seq))
@@ -467,12 +509,14 @@ def _bwd2d_kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref, *,
 
         s = jax.lax.dot_general(qh, kh, (((1,), (1,)), ((), ())),
                                 preferred_element_type=f32) * scale
-        p = _masked_softmax(s, bias)                          # (G*L, G*L)
+        p = _masked_softmax(s, bias, exact)                   # (G*L, G*L)
         dp = jax.lax.dot_general(doh, vh, (((1,), (1,)), ((), ())),
                                  preferred_element_type=f32)
         # masked entries have p == 0, so ds == 0 there: the cross-sample
         # blocks contribute nothing to dq/dk/dv (exactness preserved).
         ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+        if not exact:
+            ds = _clip_grad_mask(ds, s)
         dsb = (ds * scale).astype(qh.dtype)
         pb = p.astype(qh.dtype)
 
@@ -487,7 +531,7 @@ def _bwd2d_kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref, *,
         dv_ref[:, sl] = dv.astype(dv_ref.dtype)
 
 
-def _call_fwd_2d(q, k, v, num_heads, seq):
+def _call_fwd_2d(q, k, v, num_heads, seq, exact=False):
     rows, d = q.shape
     batch = rows // seq
     g = _plan_2d(batch, seq, d, num_heads, bwd=False)
@@ -498,7 +542,7 @@ def _call_fwd_2d(q, k, v, num_heads, seq):
                         memory_space=pltpu.VMEM)
     return pl.pallas_call(
         functools.partial(_fwd2d_kernel, num_heads=num_heads, seq=seq,
-                          group=g, scale=scale),
+                          group=g, scale=scale, exact=exact),
         grid=(batch // g,),
         in_specs=[spec, spec, spec],
         out_specs=spec,
@@ -515,7 +559,7 @@ def _xla_reference_2d(q, k, v, num_heads, seq):
     return out.reshape(rows, d)
 
 
-def _call_bwd_2d(q, k, v, do, num_heads, seq):
+def _call_bwd_2d(q, k, v, do, num_heads, seq, exact=False):
     rows, d = q.shape
     batch = rows // seq
     g = _plan_2d(batch, seq, d, num_heads, bwd=True)
@@ -529,7 +573,7 @@ def _call_bwd_2d(q, k, v, do, num_heads, seq):
                         memory_space=pltpu.VMEM)
     return pl.pallas_call(
         functools.partial(_bwd2d_kernel, num_heads=num_heads, seq=seq,
-                          group=g, scale=scale),
+                          group=g, scale=scale, exact=exact),
         grid=(batch // g,),
         in_specs=[spec, spec, spec, spec],
         out_specs=(spec, spec, spec),
@@ -540,25 +584,26 @@ def _call_bwd_2d(q, k, v, do, num_heads, seq):
     )(q, k, v, do)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
 def fused_attention_2d(q: Array, k: Array, v: Array, num_heads: int,
-                       seq: int) -> Array:
+                       seq: int, exact: bool = False) -> Array:
     """Multi-head self-attention over flat (B*L, D) operands.
 
     Row i belongs to sample i // seq. Math identical to `fused_attention`
     (and the XLA einsum path); the flat operand layout is what keeps the
-    encoder's residual stream free of 3D layout copies.
+    encoder's residual stream free of 3D layout copies. `exact` selects
+    the rowmax-subtracted softmax (see _EXP_CLIP).
     """
-    return _call_fwd_2d(q, k, v, num_heads, seq)
+    return _call_fwd_2d(q, k, v, num_heads, seq, exact)
 
 
-def _fused2d_fwd(q, k, v, num_heads, seq):
-    return _call_fwd_2d(q, k, v, num_heads, seq), (q, k, v)
+def _fused2d_fwd(q, k, v, num_heads, seq, exact):
+    return _call_fwd_2d(q, k, v, num_heads, seq, exact), (q, k, v)
 
 
-def _fused2d_bwd(num_heads, seq, res, do):
+def _fused2d_bwd(num_heads, seq, exact, res, do):
     q, k, v = res
-    return _call_bwd_2d(q, k, v, do, num_heads, seq)
+    return _call_bwd_2d(q, k, v, do, num_heads, seq, exact)
 
 
 fused_attention_2d.defvjp(_fused2d_fwd, _fused2d_bwd)
@@ -580,7 +625,8 @@ fused_attention_2d.defvjp(_fused2d_fwd, _fused2d_bwd)
 # VMEM-resident dq/dk/dv tiles, so the big tensors are read exactly once.
 
 def _fwd2d_bias_kernel(q_ref, k_ref, v_ref, bq_ref, bk_ref, bv_ref, o_ref, *,
-                       num_heads: int, seq: int, group: int, scale: float):
+                       num_heads: int, seq: int, group: int, scale: float,
+                       exact: bool):
     hd = q_ref.shape[-1] // num_heads
     bias = _mask_bias(_block_diag_mask(group * seq, seq))
     for h in range(num_heads):
@@ -589,7 +635,7 @@ def _fwd2d_bias_kernel(q_ref, k_ref, v_ref, bq_ref, bk_ref, bv_ref, o_ref, *,
         kh = k_ref[:, sl] + bk_ref[:, sl]
         s = jax.lax.dot_general(qh, kh, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32) * scale
-        e = jnp.exp(jnp.clip(s, -_EXP_CLIP, _EXP_CLIP) + bias)
+        e = _masked_exp(s, bias, exact)
         r = jnp.sum(e, axis=-1, keepdims=True)
         vh = v_ref[:, sl] + bv_ref[:, sl]
         o = jax.lax.dot_general(e.astype(vh.dtype), vh,
@@ -600,7 +646,8 @@ def _fwd2d_bias_kernel(q_ref, k_ref, v_ref, bq_ref, bk_ref, bv_ref, o_ref, *,
 
 def _bwd2d_bias_kernel(q_ref, k_ref, v_ref, do_ref, bq_ref, bk_ref, bv_ref,
                        dq_ref, dk_ref, dv_ref, dbq_ref, dbk_ref, dbv_ref, *,
-                       num_heads: int, seq: int, group: int, scale: float):
+                       num_heads: int, seq: int, group: int, scale: float,
+                       exact: bool):
     hd = q_ref.shape[-1] // num_heads
     f32 = jnp.float32
     bias = _mask_bias(_block_diag_mask(group * seq, seq))
@@ -613,10 +660,12 @@ def _bwd2d_bias_kernel(q_ref, k_ref, v_ref, do_ref, bq_ref, bk_ref, bv_ref,
 
         s = jax.lax.dot_general(qh, kh, (((1,), (1,)), ((), ())),
                                 preferred_element_type=f32) * scale
-        p = _masked_softmax(s, bias)                          # (G*L, G*L)
+        p = _masked_softmax(s, bias, exact)                   # (G*L, G*L)
         dp = jax.lax.dot_general(doh, vh, (((1,), (1,)), ((), ())),
                                  preferred_element_type=f32)
         ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+        if not exact:
+            ds = _clip_grad_mask(ds, s)
         dsb = (ds * scale).astype(qh.dtype)
         pb = p.astype(qh.dtype)
 
@@ -644,7 +693,7 @@ def _bwd2d_bias_kernel(q_ref, k_ref, v_ref, do_ref, bq_ref, bk_ref, bv_ref,
         dv_ref[:, sl] = dv.astype(dv_ref.dtype)
 
 
-def _call_fwd_2d_b(q, k, v, bq, bk, bv, num_heads, seq):
+def _call_fwd_2d_b(q, k, v, bq, bk, bv, num_heads, seq, exact=False):
     rows, d = q.shape
     batch = rows // seq
     g = _plan_2d(batch, seq, d, num_heads, bwd=False, bias=True)
@@ -656,7 +705,7 @@ def _call_fwd_2d_b(q, k, v, bq, bk, bv, num_heads, seq):
     bspec = pl.BlockSpec((1, d), lambda i: (0, 0), memory_space=pltpu.VMEM)
     return pl.pallas_call(
         functools.partial(_fwd2d_bias_kernel, num_heads=num_heads, seq=seq,
-                          group=g, scale=scale),
+                          group=g, scale=scale, exact=exact),
         grid=(batch // g,),
         in_specs=[spec, spec, spec, bspec, bspec, bspec],
         out_specs=spec,
@@ -665,7 +714,7 @@ def _call_fwd_2d_b(q, k, v, bq, bk, bv, num_heads, seq):
     )(q, k, v, bq.reshape(1, d), bk.reshape(1, d), bv.reshape(1, d))
 
 
-def _call_bwd_2d_b(q, k, v, bq, bk, bv, do, num_heads, seq):
+def _call_bwd_2d_b(q, k, v, bq, bk, bv, do, num_heads, seq, exact=False):
     rows, d = q.shape
     batch = rows // seq
     g = _plan_2d(batch, seq, d, num_heads, bwd=True, bias=True)
@@ -687,7 +736,7 @@ def _call_bwd_2d_b(q, k, v, bq, bk, bv, do, num_heads, seq):
     n_prog = batch // g
     dq, dk, dv, dbq, dbk, dbv = pl.pallas_call(
         functools.partial(_bwd2d_bias_kernel, num_heads=num_heads, seq=seq,
-                          group=g, scale=scale),
+                          group=g, scale=scale, exact=exact),
         grid=(n_prog,),
         in_specs=[spec, spec, spec, spec, bspec, bspec, bspec],
         out_specs=(spec, spec, spec, dbspec, dbspec, dbspec),
@@ -705,23 +754,24 @@ def _call_bwd_2d_b(q, k, v, bq, bk, bv, do, num_heads, seq):
             dbk.sum(0).astype(bk.dtype), dbv.sum(0).astype(bv.dtype))
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8))
 def fused_attention_2d_b(q: Array, k: Array, v: Array, bq: Array, bk: Array,
-                         bv: Array, num_heads: int, seq: int) -> Array:
+                         bv: Array, num_heads: int, seq: int,
+                         exact: bool = False) -> Array:
     """`fused_attention_2d` over pre-bias projections: computes attention on
     (q + bq, k + bk, v + bv) with (D,) biases, returning bias grads from the
     backward kernel's VMEM tiles (see the section comment above)."""
-    return _call_fwd_2d_b(q, k, v, bq, bk, bv, num_heads, seq)
+    return _call_fwd_2d_b(q, k, v, bq, bk, bv, num_heads, seq, exact)
 
 
-def _fused2db_fwd(q, k, v, bq, bk, bv, num_heads, seq):
-    out = _call_fwd_2d_b(q, k, v, bq, bk, bv, num_heads, seq)
+def _fused2db_fwd(q, k, v, bq, bk, bv, num_heads, seq, exact):
+    out = _call_fwd_2d_b(q, k, v, bq, bk, bv, num_heads, seq, exact)
     return out, (q, k, v, bq, bk, bv)
 
 
-def _fused2db_bwd(num_heads, seq, res, do):
+def _fused2db_bwd(num_heads, seq, exact, res, do):
     q, k, v, bq, bk, bv = res
-    return _call_bwd_2d_b(q, k, v, bq, bk, bv, do, num_heads, seq)
+    return _call_bwd_2d_b(q, k, v, bq, bk, bv, do, num_heads, seq, exact)
 
 
 fused_attention_2d_b.defvjp(_fused2db_fwd, _fused2db_bwd)

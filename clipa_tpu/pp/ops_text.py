@@ -129,7 +129,7 @@ def _nltk_tagger():
 
 _ADJ_SUFFIXES = ("ous", "ful", "ive", "able", "ible", "al", "ic", "ish",
                  "less", "ary", "ent", "est")
-_VERB_SUFFIXES = ("ing", "ed", "ize", "ise", "ate", "ify")
+_VERB_SUFFIXES = ("ize", "ise", "ify")
 _FUNCTION_WORDS = frozenset(
     "a an the and or but if of at by for with to from in on is are was were "
     "be been being am do does did not no this that these those it its as so "
@@ -137,23 +137,54 @@ _FUNCTION_WORDS = frozenset(
     "who whom whose which what when where why how all any both each few "
     "more most other some such only own same s t can will just don should "
     "now very too also into over under again once during while about "
-    "against between through after before above below up down out off".split())
+    "against between through after before above below up down out off "
+    "near one two three four five six seven eight nine ten".split())
+# Common caption adjectives that carry no adjectival suffix (colors, sizes,
+# everyday qualities — the bulk of LAION/alt-text modifiers). A suffix-only
+# guesser tags these NN (or worse, 'red' -> VB via '-ed'); the lexicon pins
+# the frequent ones. Golden-anchored by tests/golden/syntax_corpus.json.
+_ADJ_LEXICON = frozenset(
+    "red blue green yellow black white brown pink purple orange grey gray "
+    "golden silver big small large little tiny huge old new young tall "
+    "short long high low hot cold warm cool dark light bright happy sad "
+    "cute nice free best top fresh sweet modern classic vintage wooden "
+    "empty full open clean dirty soft hard round flat deep wild early late "
+    "pretty cozy sunny cloudy rainy".split())
+# Nouns that suffix rules misfire on: gerund-form nouns (-ing), -ly nouns,
+# -est/-able nouns.
+_NOUN_LEXICON = frozenset(
+    "drawing painting morning evening building wedding clothing lighting "
+    "ceiling spring ring king thing something nothing everything "
+    "family butterfly jelly lily belly assembly "
+    "forest nest chest guest vest west harvest interest breakfast "
+    "table cable vegetable".split())
 
 
 def _heuristic_tags(words: List[str]) -> List[str]:
-    """Suffix-based POS guesser used when NLTK corpora are unavailable.
+    """Suffix+lexicon POS guesser used when NLTK corpora are unavailable.
 
     Only the noun>adj>verb>other *priority classes* matter downstream, not
-    exact Penn tags.
+    exact Penn tags. Anchored by the golden corpus test
+    (tests/golden/syntax_corpus.json): human-curated Penn classes for
+    realistic caption vocabulary, the ground truth the reference's NLTK
+    tagger approximates (clipa_jax/transforms/bert_ops.py:54-88 tags each
+    word in isolation, so a per-word class table IS the semantics).
     """
     tags = []
     for w in words:
         lw = w.lower()
         if not lw.isalpha() or lw in _FUNCTION_WORDS:
             tags.append("X")
+        elif lw in _NOUN_LEXICON:
+            tags.append("NN")
+        elif lw in _ADJ_LEXICON:
+            tags.append("JJ")
         elif lw.endswith("ly"):
             tags.append("RB")
-        elif lw.endswith(_VERB_SUFFIXES):
+        # length guards: 'ring'/'king' are nouns, 'red'/'bed' aren't verbs
+        elif (lw.endswith("ing") and len(lw) >= 6) or \
+                (lw.endswith("ed") and len(lw) >= 5) or \
+                lw.endswith(_VERB_SUFFIXES):
             tags.append("VB")
         elif lw.endswith(_ADJ_SUFFIXES):
             tags.append("JJ")

@@ -298,3 +298,71 @@ def test_mha_qkv_biases_arg_matches_inline_add():
     np.testing.assert_allclose(np.asarray(out2),
                                np.asarray(ref.reshape(b * l, d)),
                                atol=1e-6, rtol=1e-6)
+
+
+@pytest.mark.parametrize("variant", ["3d", "2d", "2d_bias"])
+def test_exact_softmax_mode_matches_xla_at_huge_logits(variant):
+    """attn impl 'fused_exact' (rowmax-subtracted softmax) stays exact when
+    attention logits exceed the clip threshold — the regime where the
+    default clipped kernels intentionally deviate (ADVICE r4: logit growth
+    past the clip is a documented instability mode of large CLIP runs)."""
+    b, l, h, hd = 2, 40, 4, 16
+    d = h * hd
+    rng = np.random.RandomState(7)
+    # scale q so some logits land far past _EXP_CLIP
+    q = jnp.asarray(rng.randn(b, l, d) * 40, jnp.float32)
+    k = jnp.asarray(rng.randn(b, l, d), jnp.float32)
+    v = jnp.asarray(rng.randn(b, l, d), jnp.float32)
+    zeros = jnp.zeros((d,), jnp.float32)
+
+    def fwd(fn, *args):
+        with jax.default_matmul_precision("highest"):
+            return np.asarray(fn(*args))
+
+    ref = fwd(lambda q, k, v: attention.multi_head_attention(
+        q, k, v, h, impl="xla"), q, k, v)
+    if variant == "3d":
+        out = fwd(lambda q, k, v: block_attention.fused_attention(
+            q, k, v, h, True), q, k, v)
+        clipped = fwd(lambda q, k, v: block_attention.fused_attention(
+            q, k, v, h, False), q, k, v)
+    elif variant == "2d":
+        out = fwd(lambda q, k, v: block_attention.fused_attention_2d(
+            q.reshape(b * l, d), k.reshape(b * l, d), v.reshape(b * l, d),
+            h, l, True).reshape(b, l, d), q, k, v)
+        clipped = fwd(lambda q, k, v: block_attention.fused_attention_2d(
+            q.reshape(b * l, d), k.reshape(b * l, d), v.reshape(b * l, d),
+            h, l, False).reshape(b, l, d), q, k, v)
+    else:
+        out = fwd(lambda q, k, v: block_attention.fused_attention_2d_b(
+            q.reshape(b * l, d), k.reshape(b * l, d), v.reshape(b * l, d),
+            zeros, zeros, zeros, h, l, True).reshape(b, l, d), q, k, v)
+        clipped = fwd(lambda q, k, v: block_attention.fused_attention_2d_b(
+            q.reshape(b * l, d), k.reshape(b * l, d), v.reshape(b * l, d),
+            zeros, zeros, zeros, h, l, False).reshape(b, l, d), q, k, v)
+    np.testing.assert_allclose(out, ref, atol=3e-5, rtol=3e-5)
+    # sanity: the clipped kernel really does deviate here, so the exact
+    # assert above is not vacuous
+    assert np.abs(clipped - ref).max() > 1e-3
+
+
+def test_clip_saturation_zeroes_attention_grads():
+    """In the clipped (default) kernels the VJP is the true gradient of the
+    clipped forward: where every logit of a row saturates, d(logit) == 0,
+    so dq collapses to zero instead of emitting plausible-but-wrong
+    updates (the saturation signal visible in the step's l2_grads)."""
+    b, l, h, hd = 1, 40, 4, 16
+    d = h * hd
+    rng = np.random.RandomState(8)
+    # all logits pushed far past the clip: whole rows saturate
+    q = jnp.asarray(np.abs(rng.randn(b * l, d)) * 200 + 200, jnp.float32)
+    k = jnp.asarray(np.abs(rng.randn(b * l, d)) + 1.0, jnp.float32)
+    v = jnp.asarray(rng.randn(b * l, d), jnp.float32)
+
+    def loss(q, k, v):
+        return (block_attention.fused_attention_2d(q, k, v, h, l) ** 2).sum()
+
+    with jax.default_matmul_precision("highest"):
+        dq, dk, _ = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+    assert float(jnp.abs(dq).max()) == 0.0
+    assert float(jnp.abs(dk).max()) == 0.0

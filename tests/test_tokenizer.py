@@ -160,3 +160,66 @@ def test_pos_priorities_fallback():
     assert pri[1] == 1      # noun
     assert pri[2] == 3      # verb (-ing)
     assert pri[3] == 2      # adjective (-ful)
+
+
+def _load_syntax_golden():
+    import json
+    import os
+    path = os.path.join(os.path.dirname(__file__), "golden",
+                        "syntax_corpus.json")
+    with open(path) as f:
+        return json.load(f)["corpus"]
+
+
+def test_syntax_golden_corpus_priorities():
+    """The tagger (heuristic fallback, or NLTK when installed) must assign
+    the golden priority classes on a curated caption corpus — the per-word
+    class table is the semantics of the reference's isolated-word NLTK
+    tagging (clipa_jax/transforms/bert_ops.py:54-88). Guards the heuristic
+    against regressions AND validates any future NLTK-enabled environment."""
+    for entry in _load_syntax_golden():
+        got = ops_text.pos_priorities(entry["words"])
+        assert got == entry["priorities"], (
+            f"caption {entry['caption']!r}: got {got}, "
+            f"want {entry['priorities']} for words {entry['words']}")
+
+
+def test_syntax_golden_kept_token_sets(tmp_path):
+    """End-to-end syntax_tokenize on the golden corpus: the kept-word set
+    must equal the best-priority words under the golden classes (stable
+    order, first max_len-1)."""
+    from clipa_tpu.registry import get_preprocess_fn
+
+    corpus = _load_syntax_golden()
+    vocab_words = sorted({w for e in corpus for w in e["words"]})
+    vocab = ["[PAD]", "[UNK]", "[CLS]", "[SEP]"] + vocab_words
+    vocab_file = str(tmp_path / "vocab.txt")
+    with open(vocab_file, "w") as f:
+        f.write("\n".join(vocab))
+
+    max_len = 6
+    fn = get_preprocess_fn(
+        f'syntax_tokenize(inkey="txt", max_len={max_len}, '
+        f'vocab_path="{vocab_file}")')
+    for e in corpus:
+        out = fn({"txt": e["caption"], "_rng": np.random.default_rng(0)})
+        kept = [vocab[i] for i in out["labels"][1:] if i != 0]
+        # expected: stable argsort of golden priorities, first 5, original
+        # order restored (reference bert_ops.py:229-236 semantics)
+        order = np.argsort(e["priorities"], kind="stable")[:max_len - 1]
+        expect = [e["words"][i] for i in sorted(order.tolist())]
+        assert kept == expect, (
+            f"caption {e['caption']!r}: kept {kept}, want {expect}")
+
+
+def test_syntax_golden_nltk_agreement():
+    """When NLTK's tagger data is installed, its priorities must agree with
+    the golden classes (skipped where the data is absent — it is not
+    redistributable in-repo and this host has no egress; PARITY.md)."""
+    nltk_tag = ops_text._nltk_tagger()
+    if nltk_tag is None:
+        pytest.skip("nltk averaged_perceptron_tagger data not installed")
+    for entry in _load_syntax_golden():
+        tagged = nltk_tag(entry["words"])
+        got = [ops_text._tag_priority(tag) for _, tag in tagged]
+        assert got == entry["priorities"], entry["caption"]
