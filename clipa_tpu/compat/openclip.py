@@ -623,7 +623,7 @@ class _ConsumingDict(dict):
 
 # state_dict entries that carry no weights we need (buffers etc.).
 _IGNORABLE_TORCH_KEYS = ("attn_mask", "position_ids", "logit_bias",
-                         "num_batches_tracked")
+                         "num_batches_tracked", "relative_position_index")
 
 
 def convert_torch_state_dict(sd: dict[str, np.ndarray], *,
@@ -674,15 +674,18 @@ def convert_torch_variables(sd: dict[str, np.ndarray], *,
         if "visual.trunk.stem.0.weight" in sd:
             # timm ConvNeXt trunk (convnext_* configs)
             _convert_convnext_visual(sd, put)
+        elif any(".attn.relative_position_bias_table" in k for k in sd):
+            # timm Swin trunk (swin_* configs)
+            _convert_swin_visual(sd, put)
         else:
-            # remaining timm trunks (swin/relpos): native towers exist for
+            # remaining timm trunks (vit_relpos): native tower exists for
             # from-scratch training, but no weight converter yet.
             raise NotImplementedError(
-                "state_dict has a non-convnext timm vision trunk "
+                "state_dict has an unsupported timm vision trunk "
                 "(visual.trunk.*); the torch converter covers CLIP ViT / "
-                "ModifiedResNet / CoCa / timm-ConvNeXt layouts — swin/"
-                "relpos checkpoints cannot be loaded (train those towers "
-                "from scratch instead)")
+                "ModifiedResNet / CoCa / timm-ConvNeXt / timm-Swin layouts "
+                "— vit_relpos checkpoints cannot be loaded (train that "
+                "tower from scratch instead)")
     elif "visual.attnpool.positional_embedding" in sd:
         _convert_resnet_visual(sd, put, stats)
     else:
@@ -738,6 +741,150 @@ def convert_torch_variables(sd: dict[str, np.ndarray], *,
         out["batch_stats"] = u.recover_tree(list(stats.keys()),
                                             list(stats.values()))
     return out
+
+
+def _convert_timm_head(sd, put):
+    """open_clip TimmModel projection (visual.head.{proj|mlp.*}, reference
+    clipa_torch/open_clip/timm_model.py:76-82) -> img/head[_mlp_fc]."""
+    if "visual.head.mlp.fc1.weight" in sd:
+        put("img/head_mlp_fc/kernel",
+            np.asarray(sd["visual.head.mlp.fc1.weight"]).T)
+        put("img/head_mlp_fc/bias", sd["visual.head.mlp.fc1.bias"])
+        put("img/head/kernel", np.asarray(sd["visual.head.mlp.fc2.weight"]).T)
+        if "visual.head.mlp.fc2.bias" in sd:
+            put("img/head/bias", sd["visual.head.mlp.fc2.bias"])
+    elif "visual.head.proj.weight" in sd:
+        put("img/head/kernel", np.asarray(sd["visual.head.proj.weight"]).T)
+        if "visual.head.proj.bias" in sd:
+            put("img/head/bias", sd["visual.head.proj.bias"])
+
+
+def _export_timm_head(flat, sd):
+    """Inverse of _convert_timm_head."""
+    if "img/head_mlp_fc/kernel" in flat:
+        sd["visual.head.mlp.fc1.weight"] = np.asarray(
+            flat["img/head_mlp_fc/kernel"]).T
+        sd["visual.head.mlp.fc1.bias"] = np.asarray(
+            flat["img/head_mlp_fc/bias"])
+        sd["visual.head.mlp.fc2.weight"] = np.asarray(flat["img/head/kernel"]).T
+        if "img/head/bias" in flat:
+            sd["visual.head.mlp.fc2.bias"] = np.asarray(flat["img/head/bias"])
+    elif "img/head/kernel" in flat:
+        sd["visual.head.proj.weight"] = np.asarray(flat["img/head/kernel"]).T
+        if "img/head/bias" in flat:
+            sd["visual.head.proj.bias"] = np.asarray(flat["img/head/bias"])
+
+
+# PatchMerging neighbor order: ours concatenates the 2x2 neighbors as
+# (0,0),(0,1),(1,0),(1,1); timm as (0,0),(1,0),(0,1),(1,1) (see
+# models/swin.py PatchMerging). The reduction kernel's INPUT rows must be
+# block-permuted [0,2,1,3] in either direction (the permutation is its own
+# inverse).
+def _permute_merge_rows(kernel_4c_2c):
+    k = np.asarray(kernel_4c_2c)
+    c = k.shape[0] // 4
+    blocks = [k[i * c:(i + 1) * c] for i in range(4)]
+    return np.concatenate([blocks[0], blocks[2], blocks[1], blocks[3]], 0)
+
+
+def _convert_swin_visual(sd, put):
+    """timm Swin trunk (visual.trunk.*: patch_embed.{proj,norm},
+    layers.{i}.blocks.{j}.{norm1,attn.qkv,attn.relative_position_bias_table,
+    attn.proj,norm2,mlp.fc1,mlp.fc2}, layers.{i}.downsample.{norm,reduction},
+    final norm) + open_clip head -> our native tower (models/swin.py)."""
+    t = "visual.trunk"
+    put("img/patch_embed/kernel",
+        np.asarray(sd[f"{t}.patch_embed.proj.weight"]).transpose(2, 3, 1, 0))
+    put("img/patch_embed/bias", sd[f"{t}.patch_embed.proj.bias"])
+    put("img/patch_norm/scale", sd[f"{t}.patch_embed.norm.weight"])
+    put("img/patch_norm/bias", sd[f"{t}.patch_embed.norm.bias"])
+    layers = sorted({int(k.split(".")[3]) for k in sd
+                     if k.startswith(f"{t}.layers.")})
+    for i in layers:
+        lp = f"{t}.layers.{i}"
+        blocks = sorted({int(k.split(".")[5]) for k in sd
+                         if k.startswith(f"{lp}.blocks.")})
+        for j in blocks:
+            bp = f"{lp}.blocks.{j}"
+            o = f"img/layers{i}_blocks{j}"
+            put(f"{o}/norm1/scale", sd[f"{bp}.norm1.weight"])
+            put(f"{o}/norm1/bias", sd[f"{bp}.norm1.bias"])
+            put(f"{o}/attn/qkv/kernel", np.asarray(sd[f"{bp}.attn.qkv.weight"]).T)
+            put(f"{o}/attn/qkv/bias", sd[f"{bp}.attn.qkv.bias"])
+            put(f"{o}/attn/rel_pos_table",
+                sd[f"{bp}.attn.relative_position_bias_table"])
+            put(f"{o}/attn/proj/kernel",
+                np.asarray(sd[f"{bp}.attn.proj.weight"]).T)
+            put(f"{o}/attn/proj/bias", sd[f"{bp}.attn.proj.bias"])
+            put(f"{o}/norm2/scale", sd[f"{bp}.norm2.weight"])
+            put(f"{o}/norm2/bias", sd[f"{bp}.norm2.bias"])
+            put(f"{o}/mlp_fc1/kernel", np.asarray(sd[f"{bp}.mlp.fc1.weight"]).T)
+            put(f"{o}/mlp_fc1/bias", sd[f"{bp}.mlp.fc1.bias"])
+            put(f"{o}/mlp_fc2/kernel", np.asarray(sd[f"{bp}.mlp.fc2.weight"]).T)
+            put(f"{o}/mlp_fc2/bias", sd[f"{bp}.mlp.fc2.bias"])
+        if f"{lp}.downsample.norm.weight" in sd:
+            put(f"img/layers{i}_downsample/norm/scale",
+                sd[f"{lp}.downsample.norm.weight"])
+            put(f"img/layers{i}_downsample/norm/bias",
+                sd[f"{lp}.downsample.norm.bias"])
+            put(f"img/layers{i}_downsample/reduction/kernel",
+                _permute_merge_rows(
+                    np.asarray(sd[f"{lp}.downsample.reduction.weight"]).T))
+    for cand in (f"{t}.norm", f"{t}.head.norm"):
+        if f"{cand}.weight" in sd:
+            put("img/norm/scale", sd[f"{cand}.weight"])
+            put("img/norm/bias", sd[f"{cand}.bias"])
+            break
+    _convert_timm_head(sd, put)
+
+
+def _export_swin_visual(flat, sd):
+    """Inverse of _convert_swin_visual."""
+    t = "visual.trunk"
+    sd[f"{t}.patch_embed.proj.weight"] = np.asarray(
+        flat["img/patch_embed/kernel"]).transpose(3, 2, 0, 1)
+    sd[f"{t}.patch_embed.proj.bias"] = np.asarray(flat["img/patch_embed/bias"])
+    sd[f"{t}.patch_embed.norm.weight"] = np.asarray(flat["img/patch_norm/scale"])
+    sd[f"{t}.patch_embed.norm.bias"] = np.asarray(flat["img/patch_norm/bias"])
+    i = 0
+    while f"img/layers{i}_blocks0/norm1/scale" in flat:
+        j = 0
+        while f"img/layers{i}_blocks{j}/norm1/scale" in flat:
+            o = f"img/layers{i}_blocks{j}"
+            bp = f"{t}.layers.{i}.blocks.{j}"
+            sd[f"{bp}.norm1.weight"] = np.asarray(flat[f"{o}/norm1/scale"])
+            sd[f"{bp}.norm1.bias"] = np.asarray(flat[f"{o}/norm1/bias"])
+            sd[f"{bp}.attn.qkv.weight"] = np.asarray(
+                flat[f"{o}/attn/qkv/kernel"]).T
+            sd[f"{bp}.attn.qkv.bias"] = np.asarray(flat[f"{o}/attn/qkv/bias"])
+            sd[f"{bp}.attn.relative_position_bias_table"] = np.asarray(
+                flat[f"{o}/attn/rel_pos_table"])
+            sd[f"{bp}.attn.proj.weight"] = np.asarray(
+                flat[f"{o}/attn/proj/kernel"]).T
+            sd[f"{bp}.attn.proj.bias"] = np.asarray(flat[f"{o}/attn/proj/bias"])
+            sd[f"{bp}.norm2.weight"] = np.asarray(flat[f"{o}/norm2/scale"])
+            sd[f"{bp}.norm2.bias"] = np.asarray(flat[f"{o}/norm2/bias"])
+            sd[f"{bp}.mlp.fc1.weight"] = np.asarray(
+                flat[f"{o}/mlp_fc1/kernel"]).T
+            sd[f"{bp}.mlp.fc1.bias"] = np.asarray(flat[f"{o}/mlp_fc1/bias"])
+            sd[f"{bp}.mlp.fc2.weight"] = np.asarray(
+                flat[f"{o}/mlp_fc2/kernel"]).T
+            sd[f"{bp}.mlp.fc2.bias"] = np.asarray(flat[f"{o}/mlp_fc2/bias"])
+            j += 1
+        if f"img/layers{i}_downsample/norm/scale" in flat:
+            lp = f"{t}.layers.{i}.downsample"
+            sd[f"{lp}.norm.weight"] = np.asarray(
+                flat[f"img/layers{i}_downsample/norm/scale"])
+            sd[f"{lp}.norm.bias"] = np.asarray(
+                flat[f"img/layers{i}_downsample/norm/bias"])
+            sd[f"{lp}.reduction.weight"] = _permute_merge_rows(
+                np.asarray(flat[f"img/layers{i}_downsample/reduction/kernel"])).T
+            # (_permute_merge_rows is its own inverse; transpose back to
+            # torch (out, in) after permuting the input rows)
+        i += 1
+    sd[f"{t}.norm.weight"] = np.asarray(flat["img/norm/scale"])
+    sd[f"{t}.norm.bias"] = np.asarray(flat["img/norm/bias"])
+    _export_timm_head(flat, sd)
 
 
 def _convert_convnext_visual(sd, put):
@@ -797,18 +944,7 @@ def _convert_convnext_visual(sd, put):
             put("img/norm/bias", sd[f"{cand}.bias"])
             break
 
-    # open_clip adapter projection: linear (timm_proj default) or mlp
-    if "visual.head.mlp.fc1.weight" in sd:
-        put("img/head_mlp_fc/kernel",
-            np.asarray(sd["visual.head.mlp.fc1.weight"]).T)
-        put("img/head_mlp_fc/bias", sd["visual.head.mlp.fc1.bias"])
-        put("img/head/kernel", np.asarray(sd["visual.head.mlp.fc2.weight"]).T)
-        if "visual.head.mlp.fc2.bias" in sd:
-            put("img/head/bias", sd["visual.head.mlp.fc2.bias"])
-    elif "visual.head.proj.weight" in sd:
-        put("img/head/kernel", np.asarray(sd["visual.head.proj.weight"]).T)
-        if "visual.head.proj.bias" in sd:
-            put("img/head/bias", sd["visual.head.proj.bias"])
+    _convert_timm_head(sd, put)
 
 
 def _convert_attn_pooler(sd, src, dst, put):
@@ -965,6 +1101,9 @@ def export_torch_state_dict(params, batch_stats=None) -> dict:
         _export_resnet_visual(flat, batch_stats, sd)
     elif "img/downsample_layers01/scale" in flat:
         _export_convnext_visual(flat, sd)
+    elif "img/patch_norm/scale" in flat and \
+            "img/layers0_blocks0/norm1/scale" in flat:
+        _export_swin_visual(flat, sd)
     else:
         _export_vit_visual(flat, sd, coca=is_coca)
     _export_blocks(flat, sd, "img/Transformer", "visual.transformer.resblocks")
@@ -1129,18 +1268,7 @@ def _export_convnext_visual(flat, sd):
             j += 1
     sd[f"{t}.head.norm.weight"] = np.asarray(flat["img/norm/scale"])
     sd[f"{t}.head.norm.bias"] = np.asarray(flat["img/norm/bias"])
-    if "img/head_mlp_fc/kernel" in flat:
-        sd["visual.head.mlp.fc1.weight"] = np.asarray(
-            flat["img/head_mlp_fc/kernel"]).T
-        sd["visual.head.mlp.fc1.bias"] = np.asarray(
-            flat["img/head_mlp_fc/bias"])
-        sd["visual.head.mlp.fc2.weight"] = np.asarray(flat["img/head/kernel"]).T
-        if "img/head/bias" in flat:
-            sd["visual.head.mlp.fc2.bias"] = np.asarray(flat["img/head/bias"])
-    elif "img/head/kernel" in flat:
-        sd["visual.head.proj.weight"] = np.asarray(flat["img/head/kernel"]).T
-        if "img/head/bias" in flat:
-            sd["visual.head.proj.bias"] = np.asarray(flat["img/head/bias"])
+    _export_timm_head(flat, sd)
 
 
 def _export_resnet_visual(flat, batch_stats, sd):

@@ -137,14 +137,14 @@ def _bdot(a, b, contract, batch=((0,), (0,))):
 # fine-tunes where logit growth past 70 is a real risk, the towers accept
 # `attn_impl="fused_exact"` — the same kernels with the rowmax-subtracted
 # softmax (exact at any logit scale, ~35-45% slower kernel time from the
-# lane-axis max reduce; tools/scratch_attn_sweep.py).
+# lane-axis max reduce; tools/attn_sweep.py).
 _EXP_CLIP = 70.0
 
 
 def _softmax(s, exact: bool = False):
     # No rowmax subtraction by default: the lane-axis max reduce is the
     # single most expensive VPU op in these kernels (measured ~35-45% of
-    # fwd kernel time at the flagship shape — tools/scratch_attn_sweep.py;
+    # fwd kernel time at the flagship shape — tools/attn_sweep.py;
     # lane reductions can't ride the MXU the way sum reductions do). The
     # clip above replaces it for numeric safety; `exact` restores it.
     if exact:
@@ -478,7 +478,7 @@ def _fwd2d_kernel(q_ref, k_ref, v_ref, o_ref, *, num_heads: int, seq: int,
         # Deferred normalization: O = (E @ V) / r moves the division from
         # the (G*L, G*L) score domain to the (G*L, hd) output domain —
         # measured -10% fwd kernel time at the flagship shape (B=512,
-        # L=50, D=1024; scratch_defer_norm.py). exp(clip+bias) keeps
+        # L=50, D=1024; tools/attn_sweep.py measured history). exp(clip+bias) keeps
         # masked entries at exactly 0 and r >= seq*e^-clip > 0 (see
         # _masked_softmax). E is cast to the MXU input dtype BEFORE
         # normalization either way, so numerics match the normalized

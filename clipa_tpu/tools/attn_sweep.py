@@ -1,19 +1,29 @@
-"""Round-5 sweep: bias-fused 2D attention variants at the bench shape.
+"""Attention-kernel variant sweep (the maintained perf-sweep driver).
 
-The r5 bench trace puts the attention custom-calls at 39.1 ms of a 289.6 ms
-step (48 calls, B=384). Candidates measured here, all on the BIAS kernels
-(the towers run use_bias=True, so the bias variants are the real hot path):
+Times the bias-fused 2D attention kernels (the towers' real hot path —
+use_bias=True) against candidate variants at the flagship bench shape.
+Measurement protocol: chain iterations through `fori_loop` with a traced
+length (identical dispatches are memoized by this relay, and only
+host-transfer sync times reliably), subtract a 2-iteration baseline.
 
+Measured history (bench chip, v5e):
+  r3: per-sample sliced scores 2x slower than the masked group dot
+      (sublane misalignment at L=50); g=4 beats g=8 by 2.6x fwd.
+  r4: deferred normalization in the FORWARD: -10% fwd kernel time.
+      rowmax-free clip softmax: lane-max reduce was 35-45% of fwd time.
+  r5 (B=384): fwd g=4 0.379 ms (g=8 0.398; g=2 Mosaic-illegal, 100 rows);
+      bwd normalized 1.127 ms vs deferred-normalization bwd 1.391 ms —
+      defer LOSES in the backward (the (GL,hd) do/denom divide + fp32 e
+      reuse costs more than the one (GL,GL) divide it saves), so the
+      landed kernels keep the normalized backward. Attention custom-calls
+      total 39.1 ms of a 289.6 ms step; the backward VPU chain is the
+      floor given the masked-group structure.
+
+Variant knobs kept runnable below:
   fwd  g in {2, 4, 8}          — VPU softmax work scales with g (the score
-                                 block is (g*L)^2 per g samples); g=2 puts
-                                 100 rows on the 128-row MXU pass.
-  bwd  normalized vs defer     — current bwd normalizes p on the (GL, GL)
-                                 domain; defer folds 1/denom into do's rows
-                                 ((GL, hd) divide) so every (GL, GL) tensor
-                                 op runs on unnormalized e (identical math:
-                                 ds = e*(dphat - sum(dphat*e)), dv = e^T
-                                 (do/denom)).
-  bwd  g in {2, 4}
+                                 block is (g*L)^2 per g samples).
+  bwd  normalized vs defer     — fold 1/denom into do's rows so the
+                                 (GL, GL) ops run on unnormalized e.
 """
 import functools
 import time

@@ -802,3 +802,52 @@ def test_convnext_checkpoint_loads_via_create_model(tmp_path):
     img = np.random.default_rng(0).random((1, 224, 224, 3), np.float32)
     np.testing.assert_array_equal(np.asarray(model.encode_image(img)),
                                   np.asarray(loaded.encode_image(img)))
+
+
+@pytest.fixture(scope="module")
+def tiny_swin():
+    """Tiny Swin-tower CLIP (32px, patch 4, window 2: grids 8x8 -> 4x4)."""
+    from clipa_tpu.models import two_towers
+    model = two_towers.Model(
+        image_model="swin",
+        image={"embed_dim": 8, "depths": (2, 2), "num_heads": (2, 2),
+               "window": 2, "patch_size": 4},
+        text={"variant": "Ti", "pool_type": "last", "vocab_size": 64},
+        out_dim=(32, 32), temperature_init=1 / 0.07)
+    params = model.init({"params": jax.random.PRNGKey(2)},
+                        jnp.zeros((1, 32, 32, 3)),
+                        jnp.zeros((1, 8), jnp.int32))["params"]
+    return model, params
+
+
+def test_swin_torch_roundtrip(tiny_swin):
+    """Swin tower: export to the timm-trunk torch layout (incl. the
+    PatchMerging neighbor-order row permutation, models/swin.py note) and
+    convert back, bit-exact."""
+    _, params = tiny_swin
+    sd = openclip.export_torch_state_dict(params)
+    assert "visual.trunk.patch_embed.proj.weight" in sd
+    assert "visual.trunk.layers.0.blocks.0.attn.relative_position_bias_table" in sd
+    assert "visual.trunk.layers.0.downsample.reduction.weight" in sd
+    assert sd["visual.trunk.layers.0.downsample.reduction.weight"].shape \
+        == (16, 32)
+    back = openclip.convert_torch_state_dict(sd)
+    flat_a = dict(u.tree_flatten_with_names(params)[0])
+    flat_b = dict(u.tree_flatten_with_names(back)[0])
+    assert set(flat_a) == set(flat_b)
+    for k in flat_a:
+        np.testing.assert_array_equal(np.asarray(flat_a[k]),
+                                      np.asarray(flat_b[k]), err_msg=k)
+
+
+def test_swin_converted_forward_equal(tiny_swin):
+    model, params = tiny_swin
+    sd = openclip.export_torch_state_dict(params)
+    back = openclip.convert_torch_state_dict(sd)
+    img = jnp.asarray(np.random.RandomState(3).rand(2, 32, 32, 3), jnp.float32)
+    txt = jnp.asarray(np.random.RandomState(4).randint(0, 64, (2, 8)))
+    a = model.apply({"params": params}, img, txt)
+    b = model.apply({"params": jax.tree_util.tree_map(jnp.asarray, back)},
+                    img, txt)
+    for x, y in zip(a[:2], b[:2]):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
