@@ -38,8 +38,10 @@ STAGES = {
     # 732.9 @512, measured this round), which is ALSO the reference's own
     # per-core batch (model_h/84_8_pre_training.py:27: 16384 global / 64
     # v3 cores). None = baseline inherits ours (OOM-halving still applies).
+    # finetune224: B=128 measured best for ours (297.4 vs 274.6 pairs/s at
+    # 256 — less XLA memory pressure) AND for the baseline (245.0 vs 240.1).
     "pretrain": (112, 8, 0.0, 384, 256),
-    "finetune224": (224, 32, 0.3, 256, None),
+    "finetune224": (224, 32, 0.3, 128, None),
     "finetune336": (336, 32, 0.4, 128, None),
 }
 

@@ -419,17 +419,26 @@ def _plan_2d(batch: int, seq: int, d_model: int, num_heads: int, bwd: bool,
 
 def eligible_2d(rows: int, d_model: int, num_heads: int, seq: int,
                 mask, bias: bool = False) -> bool:
-    """Whether the 2D fused kernel can run for (rows=B*L, D) operands."""
+    """Whether the 2D fused kernel should run for (rows=B*L, D) operands.
+
+    Gates on BOTH the forward and backward 2D plans: the 2D kernel's win
+    is layout-copy avoidance at short sequences (L~50), where both fit.
+    At fine-tune lengths whose 2D backward working set exceeds VMEM
+    (L=138/197/257), the per-sample 3D kernel is faster in the forward
+    too (no cross-sample score waste: (g*L)^2 vs g*L^2 VPU work) and r3
+    measured no layout-copy penalty there — so dispatch routes 3D for
+    both directions instead of pairing a 2D forward with a fallback
+    backward."""
     if mask is not None or rows % seq:
         return False
     hd = d_model // num_heads
     if hd * num_heads != d_model or hd % 8:
         return False
     batch = rows // seq
-    # Forward plan gates dispatch (same policy as `eligible`): when the
-    # backward doesn't fit, the VJP falls back to XLA einsum math.
-    return _plan_2d(batch, seq, d_model, num_heads, bwd=False,
-                    bias=bias) is not None
+    return (_plan_2d(batch, seq, d_model, num_heads, bwd=False,
+                     bias=bias) is not None
+            and _plan_2d(batch, seq, d_model, num_heads, bwd=True,
+                         bias=bias) is not None)
 
 
 def _block_diag_mask(n: int, seq: int):
@@ -564,6 +573,22 @@ def _call_bwd_2d(q, k, v, do, num_heads, seq, exact=False):
     batch = rows // seq
     g = _plan_2d(batch, seq, d, num_heads, bwd=True)
     if g is None:
+        # The 2D working set is quadratic in g*seq, so fine-tune lengths
+        # (224px masked: L=138; unmasked: 197/257) often fit no 2D group —
+        # but the 3D kernel's head-chunk axis shrinks ITS slabs by
+        # H/head_chunk, so try it before XLA einsum math: the XLA VJP
+        # materializes fp32 (B, H, L, L) score tensors in HBM (measured
+        # r5 at 224px/B=256: 153 GB/step of bandwidth-bound fusions, the
+        # whole step at 69 TF/s). The flat->3D reshape is a bitcast under
+        # default layouts.
+        if _plan(batch, seq, d, num_heads, bwd=True) is not None:
+            dq, dk, dv = _call_bwd(q.reshape(batch, seq, d),
+                                   k.reshape(batch, seq, d),
+                                   v.reshape(batch, seq, d),
+                                   do.reshape(batch, seq, d),
+                                   num_heads, exact)
+            return (dq.reshape(rows, d), dk.reshape(rows, d),
+                    dv.reshape(rows, d))
         _, vjp = jax.vjp(
             lambda q, k, v: _xla_reference_2d(q, k, v, num_heads, seq),
             q, k, v)
@@ -719,6 +744,25 @@ def _call_bwd_2d_b(q, k, v, bq, bk, bv, do, num_heads, seq, exact=False):
     batch = rows // seq
     g = _plan_2d(batch, seq, d, num_heads, bwd=True, bias=True)
     if g is None:
+        # Same 3D-kernel fallback as _call_bwd_2d (see the comment there):
+        # tensor grads from the head-chunked 3D backward on the biased
+        # operands, bias grads as row sums of those (one XLA reduce each —
+        # the 3.5 ms/step bias-fusion win doesn't apply at shapes whose 2D
+        # working set exceeds VMEM, but the fp32 score-tensor traffic of
+        # the XLA einsum VJP is far worse).
+        if _plan(batch, seq, d, num_heads, bwd=True) is not None:
+            dq, dk, dv = _call_bwd((q + bq).reshape(batch, seq, d),
+                                   (k + bk).reshape(batch, seq, d),
+                                   (v + bv).reshape(batch, seq, d),
+                                   do.reshape(batch, seq, d),
+                                   num_heads, exact)
+            dq = dq.reshape(rows, d)
+            dk = dk.reshape(rows, d)
+            dv = dv.reshape(rows, d)
+            return (dq, dk, dv,
+                    jnp.sum(dq, 0, dtype=jnp.float32).astype(bq.dtype),
+                    jnp.sum(dk, 0, dtype=jnp.float32).astype(bk.dtype),
+                    jnp.sum(dv, 0, dtype=jnp.float32).astype(bv.dtype))
         _, vjp = jax.vjp(
             lambda q, k, v, bq, bk, bv: _xla_reference_2d(
                 q + bq, k + bk, v + bv, num_heads, seq),

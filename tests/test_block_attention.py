@@ -366,3 +366,52 @@ def test_clip_saturation_zeroes_attention_grads():
         dq, dk, _ = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
     assert float(jnp.abs(dq).max()) == 0.0
     assert float(jnp.abs(dk).max()) == 0.0
+
+
+def test_bwd2d_vmem_fallback_uses_3d_kernel_and_matches_xla():
+    """At fine-tune lengths (224px masked: L=138) no 2D backward group fits
+    VMEM, but the head-chunked 3D backward does: the 2D VJP must route
+    there (NOT to the XLA einsum VJP, whose fp32 (B,H,L,L) score tensors
+    measured 153 GB/step of HBM traffic at B=256) and still match XLA
+    grads — incl. the bias variant's row-sum bias grads."""
+    b, l, h, hd = 8, 138, 16, 64
+    d = h * hd
+    assert block_attention._plan_2d(b, l, d, h, bwd=True, bias=True) is None
+    assert block_attention._plan(b, l, d, h, bwd=True) is not None
+
+    rng = np.random.RandomState(9)
+    q = jnp.asarray(rng.randn(b * l, d) * 0.1, jnp.float32)
+    k = jnp.asarray(rng.randn(b * l, d) * 0.1, jnp.float32)
+    v = jnp.asarray(rng.randn(b * l, d) * 0.1, jnp.float32)
+    bq = jnp.asarray(rng.randn(d) * 0.05, jnp.float32)
+    bk = jnp.asarray(rng.randn(d) * 0.05, jnp.float32)
+    bv = jnp.asarray(rng.randn(d) * 0.05, jnp.float32)
+
+    def fused_loss(q, k, v, bq, bk, bv):
+        o = block_attention._call_bwd_2d_b  # noqa: F841 (routing asserted above)
+        out = block_attention.fused_attention_2d_b(q, k, v, bq, bk, bv, h, l)
+        return (out.astype(jnp.float32) ** 2).sum()
+
+    def ref_loss(q, k, v, bq, bk, bv):
+        o = attention.multi_head_attention(
+            (q + bq).reshape(b, l, d), (k + bk).reshape(b, l, d),
+            (v + bv).reshape(b, l, d), h, impl="xla")
+        return (o.astype(jnp.float32) ** 2).sum()
+
+    with jax.default_matmul_precision("highest"):
+        gf = jax.grad(fused_loss, argnums=tuple(range(6)))(q, k, v,
+                                                           bq, bk, bv)
+        gr = jax.grad(ref_loss, argnums=tuple(range(6)))(q, k, v, bq, bk, bv)
+    # dbk is excluded from the vs-XLA comparison: softmax row-gradients sum
+    # to zero, so the true dbk is identically 0 and both sides compute pure
+    # accumulation noise (summing b*l rows of O(1) rounding) — instead
+    # bound it by the same noise scale.
+    for name, a, r in zip(("dq", "dk", "dv", "dbq", "dbv"),
+                          gf[:3] + (gf[3], gf[5]),
+                          gr[:3] + (gr[3], gr[5])):
+        scale = float(jnp.max(jnp.abs(r))) + 1e-9
+        np.testing.assert_allclose(np.asarray(a) / scale,
+                                   np.asarray(r) / scale,
+                                   atol=2e-4, err_msg=name)
+    noise = float(jnp.max(jnp.abs(gr[1]))) * np.sqrt(b * l) * 1e-3
+    assert float(jnp.max(jnp.abs(gf[4]))) < max(noise, 1e-3), "dbk not noise"
