@@ -18,6 +18,17 @@ Measured history (bench chip, v5e):
       landed kernels keep the normalized backward. Attention custom-calls
       total 39.1 ms of a 289.6 ms step; the backward VPU chain is the
       floor given the masked-group structure.
+  r5b: two more variants measured DEAD at the flagship shape:
+      (1) pad L 50->64 so g=2 gives one exact (128,128) score tile:
+          the (B,50,D)<->(B,64,D) pad/unpad reshape copies around every
+          kernel call dominate — fwd 1.105 ms vs 0.461 landed, bwd 1.924
+          vs 1.225 (g=4 padded no better: 1.039/1.957). Padding the
+          residual stream end-to-end instead would add 28% to every GEMM.
+      (2) save normalized p in the forward, skip the score recompute in
+          the backward: fwd+p-output is free (0.439 ms) but the backward
+          reading the (GL, H*GL) p block runs 1.750 ms vs 1.225 recompute
+          — the extra VMEM-resident slab throttles the pipeline more than
+          one qk dot + exp chain costs. Flash-style recompute stands.
 
 Variant knobs kept runnable below:
   fwd  g in {2, 4, 8}          — VPU softmax work scales with g (the score
