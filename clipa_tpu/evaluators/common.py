@@ -21,6 +21,8 @@ _TYPE_ALIASES = {
     "proj.image_text.retrieval": "clipa_tpu.evaluators.retrieval",
     "fewshot": "clipa_tpu.evaluators.fewshot",
     "fewshot_lsr": "clipa_tpu.evaluators.fewshot",
+    "classification": "clipa_tpu.evaluators.classification",
+    "mean": "clipa_tpu.evaluators.mean",
 }
 
 _CONTROL_KEYS = ("type", "pred", "prefix", "log_steps", "log_percent",

@@ -363,3 +363,108 @@ def test_class_embeddings_jit_path_at_cardinality(trained_tiny):
     ref /= counts[:, None]
     ref /= np.linalg.norm(ref, axis=-1, keepdims=True) + 1e-8
     np.testing.assert_allclose(z, ref.astype(np.float32), atol=3e-6)
+
+
+# ---------------------------------------------------------------------------
+# classification + mean evaluators (working rebuilds of the reference's
+# import-broken clipa_jax/evaluators/{classification,mean}.py).
+# ---------------------------------------------------------------------------
+
+def _channel_logit_predict(params, image=None, **unused):
+    """Classifier oracle for SyntheticSource: class c halves channel c, so
+    -per-channel-mean peaks at the true class (3 classes, res channels)."""
+    import jax.numpy as jnp
+    del params, unused
+    return -jnp.mean(image.astype(jnp.float32), axis=(1, 2)) / 16.0
+
+
+def test_classification_evaluator(mesh8_module):
+    from clipa_tpu.data import core as data_core
+    from clipa_tpu.evaluators import classification
+
+    mesh = mesh8_module
+    # 3 captions -> classes 0..2 map to unique halved channels; 22 examples
+    # with batch 8 exercises the _mask padding path (2 padded rows whose
+    # all-zero onehot must ALSO be dropped by the labels.max() rule).
+    source = data_core.SyntheticSource(
+        n_examples=22, res=24, captions=["cat", "dog", "house"])
+    ev = classification.Evaluator(
+        _channel_logit_predict, mesh, batch_size=8, source=source,
+        pp='onehot(3, key="label")|keep("image", "labels")',
+        num_workers=0)
+    results = dict(ev.run(params=None))
+    assert results["prec@1"] == 1.0, results
+    assert 0 < results["loss"] < np.log(3), results
+
+
+def test_classification_excludes_zero_label_rows(mesh8_module):
+    """Rows whose label vector is all zeros must not count toward n, even
+    when unmasked (reference classification.py:44 `mask *= labels.max`)."""
+    from clipa_tpu.data import core as data_core
+    from clipa_tpu.evaluators import classification
+
+    class ZeroLabelSource(data_core.SyntheticSource):
+        def iter_process_shard(self, **kw):
+            for i, s in enumerate(super().iter_process_shard(**kw)):
+                if i % 2:
+                    s["label"] = np.zeros((0,), np.int64)  # all-zero onehot
+                yield s
+
+    source = ZeroLabelSource(n_examples=16, res=24,
+                             captions=["cat", "dog", "house"])
+    ev = classification.Evaluator(
+        _channel_logit_predict, mesh8_module, batch_size=8, source=source,
+        pp='onehot(3, key="label")|keep("image", "labels")',
+        num_workers=0)
+    results = dict(ev.run(params=None))
+    # the surviving (even-indexed) rows are still all classified perfectly
+    assert results["prec@1"] == 1.0, results
+
+
+def test_mean_evaluator_matches_numpy(mesh8_module):
+    from clipa_tpu.data import core as data_core
+    from clipa_tpu.evaluators import mean as mean_lib
+
+    mesh = mesh8_module
+    source = data_core.SyntheticSource(n_examples=19, res=24)
+
+    def predict(params, batch):
+        import jax.numpy as jnp
+        del params
+        img = batch["image"].astype(jnp.float32)
+        return {"pixel_mean": jnp.mean(img, axis=(1, 2, 3)),
+                "pixel_max": jnp.max(img, axis=(1, 2, 3))}
+
+    ev = mean_lib.Evaluator(predict, mesh, batch_size=8, source=source,
+                            pp='keep("image")', num_workers=0)
+    results = dict(ev.run(params=None))
+
+    imgs = np.stack([s["image"] for s in source.iter_process_shard()])
+    assert imgs.shape[0] == 19
+    np.testing.assert_allclose(
+        results["pixel_mean"], imgs.reshape(19, -1).mean(axis=1).mean(),
+        rtol=1e-5)
+    np.testing.assert_allclose(
+        results["pixel_max"],
+        imgs.reshape(19, -1).max(axis=1).astype(np.float64).mean(),
+        rtol=1e-6)
+
+
+def test_classification_and_mean_from_config(mesh8_module):
+    """The factory dispatches type='classification' and type='mean'."""
+    from clipa_tpu.config import ConfigDict
+    from clipa_tpu.data import core as data_core
+    from clipa_tpu.evaluators import common as eval_common
+
+    source = data_core.SyntheticSource(n_examples=8, res=24,
+                                       captions=["cat", "dog", "house"])
+    config = ConfigDict(evals=dict(
+        cls=dict(type="classification", source=source,
+                 pp='onehot(3, key="label")|keep("image", "labels")',
+                 batch_size=8, num_workers=0, log_steps=10),
+    ))
+    evs = eval_common.from_config(
+        config, {"predict": _channel_logit_predict}, mesh=mesh8_module)
+    [(name, ev, log_steps, prefix)] = evs
+    assert name == "cls" and log_steps == 10
+    assert dict(ev.run(None))["prec@1"] == 1.0
