@@ -623,7 +623,8 @@ class _ConsumingDict(dict):
 
 # state_dict entries that carry no weights we need (buffers etc.).
 _IGNORABLE_TORCH_KEYS = ("attn_mask", "position_ids", "logit_bias",
-                         "num_batches_tracked", "relative_position_index")
+                         "num_batches_tracked", "relative_position_index",
+                         "rel_coords_log")
 
 
 def convert_torch_state_dict(sd: dict[str, np.ndarray], *,
@@ -677,15 +678,15 @@ def convert_torch_variables(sd: dict[str, np.ndarray], *,
         elif any(".attn.relative_position_bias_table" in k for k in sd):
             # timm Swin trunk (swin_* configs)
             _convert_swin_visual(sd, put)
+        elif any(".attn.rel_pos.mlp." in k for k in sd):
+            # timm relpos-ViT trunk (vit_relpos_* configs)
+            _convert_relpos_visual(sd, put)
         else:
-            # remaining timm trunks (vit_relpos): native tower exists for
-            # from-scratch training, but no weight converter yet.
             raise NotImplementedError(
                 "state_dict has an unsupported timm vision trunk "
                 "(visual.trunk.*); the torch converter covers CLIP ViT / "
-                "ModifiedResNet / CoCa / timm-ConvNeXt / timm-Swin layouts "
-                "— vit_relpos checkpoints cannot be loaded (train that "
-                "tower from scratch instead)")
+                "ModifiedResNet / CoCa / timm-ConvNeXt / timm-Swin / "
+                "timm-relpos-ViT layouts")
     elif "visual.attnpool.positional_embedding" in sd:
         _convert_resnet_visual(sd, put, stats)
     else:
@@ -881,6 +882,89 @@ def _export_swin_visual(flat, sd):
                 np.asarray(flat[f"img/layers{i}_downsample/reduction/kernel"])).T
             # (_permute_merge_rows is its own inverse; transpose back to
             # torch (out, in) after permuting the input rows)
+        i += 1
+    sd[f"{t}.norm.weight"] = np.asarray(flat["img/norm/scale"])
+    sd[f"{t}.norm.bias"] = np.asarray(flat["img/norm/bias"])
+    _export_timm_head(flat, sd)
+
+
+def _convert_relpos_visual(sd, put):
+    """timm relpos-ViT trunk (visual.trunk.*: cls_token, patch_embed.proj,
+    blocks.{i}.{norm1,attn.qkv,attn.rel_pos.mlp.{fc1,fc2},attn.proj,norm2,
+    mlp.{fc1,fc2}}, final norm) + open_clip head -> our native tower
+    (models/vit_relpos.py, coords_mode='cr' — timm RelPosMlp's mode for
+    the vit_relpos_* family; its rel_coords_log/relative_position_index
+    buffers are recomputed, not loaded).
+
+    timm's relpos variants set qkv_bias=False; a checkpoint carrying a
+    qkv bias would need a tower our config zoo doesn't build, so it
+    errors below rather than silently dropping the bias."""
+    t = "visual.trunk"
+    put("img/cls", sd[f"{t}.cls_token"])
+    put("img/patch_embed/kernel",
+        np.asarray(sd[f"{t}.patch_embed.proj.weight"]).transpose(2, 3, 1, 0))
+    put("img/patch_embed/bias", sd[f"{t}.patch_embed.proj.bias"])
+    blocks = sorted({int(k.split(".")[3]) for k in sd
+                     if k.startswith(f"{t}.blocks.")})
+    for i in blocks:
+        bp = f"{t}.blocks.{i}"
+        o = f"img/blocks{i}"
+        if f"{bp}.attn.qkv.bias" in sd:
+            raise NotImplementedError(
+                "relpos-ViT checkpoint has qkv biases; the vit_relpos "
+                "tower (like timm's vit_relpos_* configs) is qkv_bias=False")
+        put(f"{o}/norm1/scale", sd[f"{bp}.norm1.weight"])
+        put(f"{o}/norm1/bias", sd[f"{bp}.norm1.bias"])
+        put(f"{o}/qkv/kernel", np.asarray(sd[f"{bp}.attn.qkv.weight"]).T)
+        put(f"{o}/rel_pos/fc1/kernel",
+            np.asarray(sd[f"{bp}.attn.rel_pos.mlp.fc1.weight"]).T)
+        put(f"{o}/rel_pos/fc1/bias", sd[f"{bp}.attn.rel_pos.mlp.fc1.bias"])
+        put(f"{o}/rel_pos/fc2/kernel",
+            np.asarray(sd[f"{bp}.attn.rel_pos.mlp.fc2.weight"]).T)
+        put(f"{o}/rel_pos/fc2/bias", sd[f"{bp}.attn.rel_pos.mlp.fc2.bias"])
+        put(f"{o}/proj/kernel", np.asarray(sd[f"{bp}.attn.proj.weight"]).T)
+        put(f"{o}/proj/bias", sd[f"{bp}.attn.proj.bias"])
+        put(f"{o}/norm2/scale", sd[f"{bp}.norm2.weight"])
+        put(f"{o}/norm2/bias", sd[f"{bp}.norm2.bias"])
+        put(f"{o}/mlp_fc1/kernel", np.asarray(sd[f"{bp}.mlp.fc1.weight"]).T)
+        put(f"{o}/mlp_fc1/bias", sd[f"{bp}.mlp.fc1.bias"])
+        put(f"{o}/mlp_fc2/kernel", np.asarray(sd[f"{bp}.mlp.fc2.weight"]).T)
+        put(f"{o}/mlp_fc2/bias", sd[f"{bp}.mlp.fc2.bias"])
+    put("img/norm/scale", sd[f"{t}.norm.weight"])
+    put("img/norm/bias", sd[f"{t}.norm.bias"])
+    _convert_timm_head(sd, put)
+
+
+def _export_relpos_visual(flat, sd):
+    """Inverse of _convert_relpos_visual."""
+    t = "visual.trunk"
+    sd[f"{t}.cls_token"] = np.asarray(flat["img/cls"])
+    sd[f"{t}.patch_embed.proj.weight"] = np.asarray(
+        flat["img/patch_embed/kernel"]).transpose(3, 2, 0, 1)
+    sd[f"{t}.patch_embed.proj.bias"] = np.asarray(flat["img/patch_embed/bias"])
+    i = 0
+    while f"img/blocks{i}/norm1/scale" in flat:
+        o = f"img/blocks{i}"
+        bp = f"{t}.blocks.{i}"
+        sd[f"{bp}.norm1.weight"] = np.asarray(flat[f"{o}/norm1/scale"])
+        sd[f"{bp}.norm1.bias"] = np.asarray(flat[f"{o}/norm1/bias"])
+        sd[f"{bp}.attn.qkv.weight"] = np.asarray(flat[f"{o}/qkv/kernel"]).T
+        sd[f"{bp}.attn.rel_pos.mlp.fc1.weight"] = np.asarray(
+            flat[f"{o}/rel_pos/fc1/kernel"]).T
+        sd[f"{bp}.attn.rel_pos.mlp.fc1.bias"] = np.asarray(
+            flat[f"{o}/rel_pos/fc1/bias"])
+        sd[f"{bp}.attn.rel_pos.mlp.fc2.weight"] = np.asarray(
+            flat[f"{o}/rel_pos/fc2/kernel"]).T
+        sd[f"{bp}.attn.rel_pos.mlp.fc2.bias"] = np.asarray(
+            flat[f"{o}/rel_pos/fc2/bias"])
+        sd[f"{bp}.attn.proj.weight"] = np.asarray(flat[f"{o}/proj/kernel"]).T
+        sd[f"{bp}.attn.proj.bias"] = np.asarray(flat[f"{o}/proj/bias"])
+        sd[f"{bp}.norm2.weight"] = np.asarray(flat[f"{o}/norm2/scale"])
+        sd[f"{bp}.norm2.bias"] = np.asarray(flat[f"{o}/norm2/bias"])
+        sd[f"{bp}.mlp.fc1.weight"] = np.asarray(flat[f"{o}/mlp_fc1/kernel"]).T
+        sd[f"{bp}.mlp.fc1.bias"] = np.asarray(flat[f"{o}/mlp_fc1/bias"])
+        sd[f"{bp}.mlp.fc2.weight"] = np.asarray(flat[f"{o}/mlp_fc2/kernel"]).T
+        sd[f"{bp}.mlp.fc2.bias"] = np.asarray(flat[f"{o}/mlp_fc2/bias"])
         i += 1
     sd[f"{t}.norm.weight"] = np.asarray(flat["img/norm/scale"])
     sd[f"{t}.norm.bias"] = np.asarray(flat["img/norm/bias"])
@@ -1104,6 +1188,8 @@ def export_torch_state_dict(params, batch_stats=None) -> dict:
     elif "img/patch_norm/scale" in flat and \
             "img/layers0_blocks0/norm1/scale" in flat:
         _export_swin_visual(flat, sd)
+    elif "img/blocks0/rel_pos/fc1/kernel" in flat:
+        _export_relpos_visual(flat, sd)
     else:
         _export_vit_visual(flat, sd, coca=is_coca)
     _export_blocks(flat, sd, "img/Transformer", "visual.transformer.resblocks")

@@ -7,21 +7,26 @@ model_configs/vit_relpos_medium_patch16_cls_224.json). Rebuilt natively:
 16x16 patch embed with NO absolute position embedding, a class token,
 pre-norm blocks whose attention adds a per-block relative position bias
 produced by a small MLP over log-scaled relative grid coordinates
-(continuous relative position bias, Swin-v2 style log-CPB — the same
-family timm's RelPosMlp implements), final LN, class-token pool, linear
-projection head. The class token carries no relative position; its bias
-row/column is zero. qkv projections carry no bias (timm's relpos
-variants set qkv_bias=False).
+(continuous relative position bias — timm's RelPosMlp family), final
+LN, class-token pool, linear projection head. The class token carries
+no relative position; its bias row/column is zero. qkv projections
+carry no bias (timm's relpos variants set qkv_bias=False).
 
-Exact timm-numeric parity is untestable here (timm is not installed and
-the environment has no egress); the architecture is structurally
-faithful and the parameter layout is our own. Specifically, the coords
-below use swin-v2-style log-CPB (8/(win-1) pre-scale, log2, no sigmoid
-gain) whereas timm RelPosMlp 'cpb' mode uses natural-log coords with no
-pre-scale and 'swin' mode adds a sigmoid gain of 16 — so porting timm/
-open_clip relpos checkpoints onto this tower would require mirroring
-timm's gen_relative_log_coords for the matching mode first. This tower
-is for from-scratch training.
+Two coordinate-table modes (`coords_mode`):
+  * "cr" (default) — natural-log coords with no pre-scale and no output
+    gain: sign(d) * ln(1 + |d|). This is timm RelPosMlp's 'cr' mode,
+    the one the vit_relpos_* model family uses (both MLP layers carry
+    biases in this mode, matching this module), so timm/open_clip
+    relpos checkpoints map onto this tower via the compat converter
+    (compat/openclip.py `_convert_relpos_visual`).
+  * "swinv2" — swin-v2 log-CPB (8/(win-1) pre-scale, log2 — the table
+    rounds 1-4 trained from scratch with).
+Exact timm-numeric parity is untestable here (timm is not installed
+and the environment has no egress): the 'cr' table formula and key
+layout are transcribed from timm's pos_embed_rel.py, and the converter
+is round-trip + forward-equality tested against our own export.
+Train-time detail NOT mirrored: timm applies dropout(0.125) inside the
+bias MLP during training; inference is unaffected.
 
 TPU notes: the bias MLP runs over a (2H-1)*(2W-1) coordinate table (729
 rows at 224px) once per block — negligible next to the token GEMMs —
@@ -45,13 +50,21 @@ Array = Any
 _init = nn.initializers.normal(0.02)
 
 
-def _rel_coords_log(h: int, w: int) -> np.ndarray:
-    """((2h-1)*(2w-1), 2) log-scaled relative coords in ±log2(9)/log2(8)."""
+def _rel_coords_log(h: int, w: int, mode: str = "cr") -> np.ndarray:
+    """((2h-1)*(2w-1), 2) log-scaled relative coordinates.
+
+    mode "cr": timm RelPosMlp 'cr' — sign(d) * ln(1 + |d|), no pre-scale
+    (timm layers/pos_embed_rel.py gen_relative_log_coords).
+    mode "swinv2": swin-v2 log-CPB — sign * log2(1+|x|)/log2(8) with x
+    pre-scaled so the table spans ±log2(9)/log2(8).
+    """
     dy = np.arange(-(h - 1), h, dtype=np.float32)
     dx = np.arange(-(w - 1), w, dtype=np.float32)
     grid = np.stack(np.meshgrid(dy, dx, indexing="ij"), axis=-1)
     grid = grid.reshape(-1, 2)
-    # swin-v2 log-CPB: sign(x) * log2(1 + |x|) / log2(8), x pre-scaled to 8
+    if mode == "cr":
+        return np.sign(grid) * np.log1p(np.abs(grid))
+    assert mode == "swinv2", mode
     scaled = grid * (8.0 / np.maximum(h - 1, w - 1))
     return np.sign(scaled) * np.log2(1.0 + np.abs(scaled)) / np.log2(8.0)
 
@@ -71,11 +84,12 @@ class RelPosMlpBias(nn.Module):
     grid: Tuple[int, int]
     num_heads: int
     hidden_dim: int = 512
+    coords_mode: str = "cr"
 
     @nn.compact
     def __call__(self) -> Array:
         h, w = self.grid
-        coords = jnp.asarray(_rel_coords_log(h, w))        # (T, 2)
+        coords = jnp.asarray(_rel_coords_log(h, w, self.coords_mode))
         y = nn.Dense(self.hidden_dim, kernel_init=_init,
                      param_dtype=jnp.float32, name="fc1")(coords)
         y = nn.relu(y)
@@ -94,6 +108,7 @@ class RelPosBlock(nn.Module):
     grid: Tuple[int, int]
     mlp_ratio: float = 4.0
     rel_pos_dim: int = 512
+    coords_mode: str = "cr"
     drop_path: float = 0.0
     dtype: Optional[Any] = None
 
@@ -111,7 +126,7 @@ class RelPosBlock(nn.Module):
         qkv = qkv.reshape(b, n, 3, self.num_heads, hd)
         q, k, v = (qkv[:, :, i].transpose(0, 2, 1, 3) for i in range(3))
         bias = RelPosMlpBias(self.grid, self.num_heads, self.rel_pos_dim,
-                             name="rel_pos")()
+                             self.coords_mode, name="rel_pos")()
         attn = jnp.einsum("bhqd,bhkd->bhqk", q, k) * (hd ** -0.5)
         attn = attn + bias[None].astype(attn.dtype)
         attn = nn.softmax(attn.astype(jnp.float32), axis=-1).astype(dtype)
@@ -139,6 +154,7 @@ class _Model(nn.Module):
     mlp_ratio: float = 4.0
     patch_size: int = 16
     rel_pos_dim: int = 512
+    coords_mode: str = "cr"
     drop_path: float = 0.0
     head_bias: bool = False                # open_clip proj_bias default
     dtype: Optional[Any] = None
@@ -164,7 +180,7 @@ class _Model(nn.Module):
         for i in range(self.depth):
             x = RelPosBlock(self.width, self.num_heads, grid,
                             self.mlp_ratio, self.rel_pos_dim,
-                            float(dp[i]), dtype=dtype,
+                            self.coords_mode, float(dp[i]), dtype=dtype,
                             name=f"blocks{i}")(x, not train)
 
         x = nn.LayerNorm(dtype=dtype, param_dtype=jnp.float32,

@@ -851,3 +851,75 @@ def test_swin_converted_forward_equal(tiny_swin):
                     img, txt)
     for x, y in zip(a[:2], b[:2]):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+@pytest.fixture(scope="module")
+def tiny_relpos():
+    """Tiny relpos-ViT-tower CLIP (16px, patch 4: 4x4 grid + cls)."""
+    from clipa_tpu.models import two_towers
+    model = two_towers.Model(
+        image_model="vit_relpos",
+        image={"width": 16, "depth": 2, "num_heads": 2, "patch_size": 4,
+               "rel_pos_dim": 8},
+        text={"variant": "Ti", "pool_type": "last", "vocab_size": 64},
+        out_dim=(32, 32), temperature_init=1 / 0.07)
+    params = model.init({"params": jax.random.PRNGKey(5)},
+                        jnp.zeros((1, 16, 16, 3)),
+                        jnp.zeros((1, 8), jnp.int32))["params"]
+    return model, params
+
+
+def test_relpos_torch_roundtrip(tiny_relpos):
+    """relpos-ViT tower: export to the timm-trunk torch layout
+    (visual.trunk.blocks.*.attn.rel_pos.mlp.*, reference
+    clipa_torch/open_clip/timm_model.py adapter around timm
+    vision_transformer_relpos.py) and convert back, bit-exact."""
+    _, params = tiny_relpos
+    sd = openclip.export_torch_state_dict(params)
+    assert "visual.trunk.cls_token" in sd
+    assert "visual.trunk.blocks.0.attn.rel_pos.mlp.fc1.weight" in sd
+    assert sd["visual.trunk.blocks.0.attn.rel_pos.mlp.fc1.weight"].shape \
+        == (8, 2)
+    assert "visual.trunk.blocks.0.attn.qkv.weight" in sd
+    assert "visual.trunk.blocks.0.attn.qkv.bias" not in sd  # qkv_bias=False
+    assert "visual.head.proj.weight" in sd
+    back = openclip.convert_torch_state_dict(sd)
+    flat_a = dict(u.tree_flatten_with_names(params)[0])
+    flat_b = dict(u.tree_flatten_with_names(back)[0])
+    assert set(flat_a) == set(flat_b)
+    for k in flat_a:
+        np.testing.assert_array_equal(np.asarray(flat_a[k]),
+                                      np.asarray(flat_b[k]), err_msg=k)
+
+
+def test_relpos_converted_forward_equal(tiny_relpos):
+    model, params = tiny_relpos
+    sd = openclip.export_torch_state_dict(params)
+    back = openclip.convert_torch_state_dict(sd)
+    img = jnp.asarray(np.random.RandomState(6).rand(2, 16, 16, 3), jnp.float32)
+    txt = jnp.asarray(np.random.RandomState(7).randint(0, 64, (2, 8)))
+    a = model.apply({"params": params}, img, txt)
+    b = model.apply({"params": jax.tree_util.tree_map(jnp.asarray, back)},
+                    img, txt)
+    for x, y in zip(a[:2], b[:2]):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_relpos_checkpoint_loads_via_create_model(tmp_path):
+    """create_model('vit_relpos_medium_patch16_cls_224', pretrained=<torch
+    .bin>) — the full user path for timm-trunk relpos checkpoints; buffer
+    keys timm persists (rel_coords_log) are ignored like
+    relative_position_index."""
+    torch = pytest.importorskip("torch")
+    model = openclip.create_model("vit_relpos_medium_patch16_cls_224")
+    sd = {k: torch.from_numpy(np.asarray(v))
+          for k, v in openclip.export_torch_state_dict(model.params).items()}
+    sd["visual.trunk.blocks.0.attn.rel_pos.rel_coords_log"] = \
+        torch.zeros(49, 2)  # a persisted buffer must not break strict mode
+    path = str(tmp_path / "vit_relpos_medium.bin")
+    torch.save(sd, path)
+    loaded = openclip.create_model("vit_relpos_medium_patch16_cls_224",
+                                   pretrained=path)
+    img = np.random.default_rng(8).random((1, 224, 224, 3), np.float32)
+    np.testing.assert_array_equal(np.asarray(model.encode_image(img)),
+                                  np.asarray(loaded.encode_image(img)))

@@ -125,10 +125,15 @@ def test_relpos_bias_zero_for_cls():
 
 
 def test_relpos_coords_log_symmetric():
+    # "cr" (default): timm RelPosMlp natural-log coords, no pre-scale —
+    # extreme offset ±3 -> ±ln(4)
     c = relpos_lib._rel_coords_log(4, 4)
     assert c.shape == (49, 2)
     np.testing.assert_allclose(c, -c[::-1], atol=1e-6)
-    # log2(1+8)/log2(8): the swin-v2 log-CPB range is [-~1.057, ~1.057]
+    np.testing.assert_allclose(np.abs(c).max(), np.log(4.0), rtol=1e-6)
+    # "swinv2": log2(1+8)/log2(8) — range is [-~1.057, ~1.057]
+    c = relpos_lib._rel_coords_log(4, 4, "swinv2")
+    np.testing.assert_allclose(c, -c[::-1], atol=1e-6)
     assert np.abs(c).max() <= np.log2(9) / np.log2(8) + 1e-6
 
 
