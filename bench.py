@@ -43,11 +43,35 @@ STAGES = {
     "pretrain": (112, 8, 0.0, 384, 256),
     "finetune224": (224, 32, 0.3, 128, None),
     "finetune336": (336, 32, 0.4, 128, None),
+    # The reference's CLIPA-v2 headline pretrain config itself
+    # (model_h/84_8_pre_training.py): ViT-H/14 at 84px (6x6=36 image
+    # tokens), 8 text tokens, gap pool, sincos2d, bf16 Adam moments on
+    # both sides (the reference config sets mu_dtype='bfloat16').
+    # Ours: B=256 measured best, NO remat (measured: 643.4 pairs/s vs
+    # 596.8 with actcp at the same batch — after the norm-metrics
+    # liveness fix in train/step.py the full-activation program fits).
+    # Baseline keeps the reference's remat_policy='actcp' (part of its
+    # program, and what ~1B params of fp32 state leaves room for).
+    "pretrain_h14": (84, 8, 0.0, 256, 256),
+}
+
+# per-stage build_step overrides: STAGE_KW applies to BOTH sides (the
+# model shape the stage dictates); _OURS/_BASE apply per side (program
+# choices — ours runs remat-free, the baseline runs the reference's).
+STAGE_KW = {
+    "pretrain_h14": dict(variant="H/14", pool="gap"),
+}
+STAGE_KW_OURS = {
+    "pretrain_h14": dict(remat="none"),
+}
+STAGE_KW_BASE = {
+    "pretrain_h14": dict(remat="actcp"),
 }
 
 
 def build_step(dtype_str: str, batch: int, res: int = 112, tokens: int = 8,
-               variant: str = "L/16", mu_dtype: str = None,
+               variant: str = "L/16", pool: str = "tok",
+               mu_dtype: str = None,
                remat: str = "none", quant: str = None,
                attn_impl: str = "auto", optax_name: str = "scale_by_adam",
                norm_metrics: str = "log", stream: str = "flat",
@@ -65,7 +89,7 @@ def build_step(dtype_str: str, batch: int, res: int = 112, tokens: int = 8,
     out_dim = {"Ti": 192, "S": 384, "B": 512, "L": 768, "H": 1024,
                "G": 1280}.get(tv, 768)
     model = two_towers.Model(
-        image={"variant": variant, "pool_type": "tok", "posemb": "sincos2d",
+        image={"variant": variant, "pool_type": pool, "posemb": "sincos2d",
                "remat_policy": remat, "quant": quant,
                "attn_impl": attn_impl, "stream": stream},
         text={"variant": tv, "pool_type": "last", "vocab_size": 32000,
@@ -209,9 +233,11 @@ def lowering_check():
         res, tokens, mask_ratio, tpu_batch, _ = STAGES[stage]
         t0 = time.perf_counter()
         update, state, gbatch = build_step(
-            "bfloat16", tpu_batch, res=res, tokens=tokens, variant="L/16",
+            "bfloat16", tpu_batch, res=res, tokens=tokens,
             mask_ratio=mask_ratio, mu_dtype="bfloat16",
-            optax_name="scale_by_fused_adam")
+            optax_name="scale_by_fused_adam",
+            **{"variant": "L/16", **STAGE_KW.get(stage, {}),
+               **STAGE_KW_OURS.get(stage, {})})
         update.lower(state, gbatch).compile()
         del update, state, gbatch
         print(f"lowering-check {stage}: OK "
@@ -241,17 +267,18 @@ def main(argv=None):
 
     batch = args.batch or (tpu_batch if on_tpu else 16)
     iters = args.iters or (20 if on_tpu else 3)
-    variant = "L/16" if on_tpu else "Ti/16"
-    shape_kw = dict(res=res, tokens=tokens, variant=variant,
+    shape_kw = dict(res=res, tokens=tokens, variant="L/16",
                     mask_ratio=mask_ratio)
+    shape_kw.update(STAGE_KW.get(args.stage, {}))
     if not on_tpu:
-        shape_kw.update(res=min(res, 64), tokens=8)
+        shape_kw.update(res=min(res, 64), tokens=8, variant="Ti/16")
 
     # Ours: bf16 compute, bf16 Adam moments, flat-grouped fused Adam apply,
     # fused device-side preprocessing, log-gated norm metrics.
     update, state, gbatch, step_time, loss, batch = _measure_with_fallback(
         "bfloat16", batch, iters, mu_dtype="bfloat16",
-        optax_name="scale_by_fused_adam", **shape_kw)
+        optax_name="scale_by_fused_adam",
+        **{**shape_kw, **STAGE_KW_OURS.get(args.stage, {})})
     pairs_per_sec_chip = batch / step_time / n_chips
 
     flops = step_flops(update, state, gbatch)
@@ -291,7 +318,8 @@ def main(argv=None):
         _measure_with_fallback("float32", base_batch0, iters,
                                attn_impl="xla", stream="ref3d",
                                norm_metrics="always", mu_dtype="bfloat16",
-                               **shape_kw)
+                               **{**shape_kw,
+                                  **STAGE_KW_BASE.get(args.stage, {})})
     base_time2, _, state_b = time_steps(update_b, state_b, gbatch_b,
                                         warmup=1, iters=iters)
     base_flops = step_flops(update_b, state_b, gbatch_b)
@@ -309,12 +337,17 @@ def main(argv=None):
         if (base_flops and peak32) else None
 
     stage_desc = {
-        "pretrain": "pretrain (112px, 8 text tokens)",
-        "finetune224": "unmask-tuning (224px, mask_ratio 0.3, 32 tokens)",
-        "finetune336": "unmask-tuning (336px, mask_ratio 0.4, 32 tokens)",
+        "pretrain": "ViT-L/16 pretrain (112px, 8 text tokens)",
+        "finetune224": "ViT-L/16 unmask-tuning (224px, mask_ratio 0.3, "
+                       "32 tokens)",
+        "finetune336": "ViT-L/16 unmask-tuning (336px, mask_ratio 0.4, "
+                       "32 tokens)",
+        "pretrain_h14": "ViT-H/14 pretrain (84px, 8 text tokens — the "
+                        "reference's CLIPA-v2 headline config, "
+                        "model_h/84_8_pre_training.py)",
     }[args.stage]
     print(json.dumps({
-        "metric": f"CLIPA ViT-L/16 {stage_desc} training throughput",
+        "metric": f"CLIPA {stage_desc} training throughput",
         "value": round(pairs_per_sec_chip, 2),
         "unit": "pairs/sec/chip",
         "vs_baseline": round(pairs_per_sec_chip / base_pairs, 3),

@@ -93,13 +93,14 @@ def make_update_fn(model, tx, config, mesh, total_steps: int = 0,
     loss_kind = config.get("loss", "softmax")
     normalize_on_device = bool(config.get("cpu_unit8", True))
     measure_block_norms = bool(config.get("log_block_norms", False))
-    # The l2_{grads,params,updates} norms cost 3 full-tree reduction passes
-    # (~5 GB HBM reads on ViT-L) but are only CONSUMED at the log cadence
-    # (train/loop.py reads measurements under `itstime`). "log" computes
-    # them under lax.cond only on steps the logger will read (zeros
-    # otherwise); "always" restores the reference's every-step behavior
-    # (clipa_jax/main.py:290-294 computed them in every pmap step because
-    # pmap could not gate); "never" omits the keys.
+    # The l2_{grads,params,updates} norms are only CONSUMED at the log
+    # cadence (train/loop.py reads measurements under `itstime`). "log"
+    # computes producer-fused per-leaf squared sums every step (free: XLA
+    # folds each into the fusion that made the leaf) and gates only the
+    # scalar sqrt, reporting zeros on unlogged steps; "always" restores the
+    # reference's every-step global_norm behavior (clipa_jax/main.py:290-294
+    # computed them in every pmap step because pmap could not gate);
+    # "never" omits the keys.
     norm_metrics = config.get("norm_metrics", "log")  # log|always|never
     log_steps = int(config.get("log_training_steps", 50))
     batch_sharding = mesh_lib.batch_sharding(mesh)
@@ -249,20 +250,43 @@ def make_update_fn(model, tx, config, mesh, total_steps: int = 0,
 
         measurements["training_loss"] = l
         if norm_metrics != "never":
-            def _norms(_):
-                return (optax.global_norm(grads), optax.global_norm(params),
-                        optax.global_norm(updates))
             if norm_metrics == "always":
-                l2g, l2p, l2u = _norms(None)
+                l2g = optax.global_norm(grads)
+                l2p = optax.global_norm(params)
+                l2u = optax.global_norm(updates)
             else:
+                # "log" gating must NOT wrap the trees in a lax.cond: cond
+                # operands are live at its entry, so a cond over
+                # (grads, params, updates) pins THREE full fp32 param-sized
+                # trees in HBM simultaneously (~12 GB on ViT-H — the
+                # difference between H/14 fitting a 16G chip or not, and a
+                # source of XLA memory-pressure remats at large batch on
+                # smaller towers). Instead the per-leaf squared sums run
+                # UNGATED — XLA fuses each into the fusion that produced
+                # the leaf, so each grad/update dies right after its Adam
+                # consumer — and only the scalar sqrt/select is gated.
+                # Values are identical to optax.global_norm (same per-leaf
+                # vdot + scalar-sum structure), zeros on unlogged steps.
+                def _sqsum(tree):
+                    # sum-of-squares, NOT jnp.vdot: XLA lowers a jitted
+                    # vdot to a dot_general whose CPU fast path loses ~3
+                    # significant digits vs the reduce, and exact agreement
+                    # with optax.global_norm (same abs_sq+sum structure) is
+                    # what the parity test asserts.
+                    leaves = jax.tree_util.tree_leaves(tree)
+                    return sum((jnp.sum(jnp.square(x.astype(jnp.float32)))
+                                for x in leaves), jnp.float32(0.0))
+                gsq, psq, usq = _sqsum(grads), _sqsum(params), _sqsum(updates)
                 # `step` here is pre-increment; the loop logs this batch as
                 # step+1 (utils.itstime: first, last, every log_steps).
                 logged = step + 1
                 due = ((logged % log_steps == 0) | (logged == 1)
                        | (logged == total_steps))
                 zero = jnp.zeros((), jnp.float32)
-                l2g, l2p, l2u = jax.lax.cond(
-                    due, _norms, lambda _: (zero, zero, zero), None)
+                l2g, l2p, l2u = (
+                    jnp.where(due, jnp.sqrt(gsq), zero),
+                    jnp.where(due, jnp.sqrt(psq), zero),
+                    jnp.where(due, jnp.sqrt(usq), zero))
             measurements["l2_grads"] = l2g
             measurements["l2_params"] = l2p
             measurements["l2_updates"] = l2u

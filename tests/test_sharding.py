@@ -364,3 +364,42 @@ def test_temperature_clamp(mesh8):
     update = step_lib.make_update_fn(model, tx, config, mesh8)
     state, _ = update(state, local_batch_to_global(_batch(16), mesh8))
     assert float(state["params"]["t"][0]) <= np.log(100.0) + 1e-6
+
+
+def test_norm_metrics_log_matches_always(mesh8):
+    """'log' gating reports the SAME l2 values as the reference-style
+    'always' mode on logged steps and zeros elsewhere — and does so via
+    ungated per-leaf squared sums (no lax.cond over whole trees, which
+    would pin grads+params+updates simultaneously live in HBM)."""
+    batch_np = _batch(16)
+    results = {}
+    for mode in ("always", "log"):
+        model = _tiny_model()
+        config = _tiny_config(norm_metrics=mode, log_training_steps=5)
+        tx, _ = optim.make(config, _abstract_params(model, config),
+                           sched_kw=dict(total_steps=10))
+        state = step_lib.init_train_state(model, tx, config, mesh8,
+                                          jax.random.PRNGKey(0))
+        update = step_lib.make_update_fn(model, tx, config, mesh8)
+        batch = local_batch_to_global(batch_np, mesh8)
+        meas = []
+        for _ in range(2):
+            state, m = update(state, batch)
+            meas.append({k: float(m[k]) for k in
+                         ("l2_grads", "l2_params", "l2_updates",
+                          "training_loss")})
+        results[mode] = meas
+
+    # step 1 is a logged step (first): values agree across modes.
+    # (l2_updates is legitimately 0.0 there — warmup step has lr=0 —
+    # so positivity is only asserted for grads/params.)
+    for key in ("l2_grads", "l2_params", "l2_updates"):
+        np.testing.assert_allclose(results["log"][0][key],
+                                   results["always"][0][key],
+                                   rtol=1e-5)
+        # step 2 is unlogged under log_steps=5: gated mode reports zeros,
+        # always mode keeps reporting real norms
+        assert results["log"][1][key] == 0.0
+        assert results["always"][1][key] > 0.0
+    for key in ("l2_grads", "l2_params"):
+        assert results["log"][0][key] > 0.0
